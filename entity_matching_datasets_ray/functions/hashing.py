@@ -1,0 +1,122 @@
+"""Deterministic hashing primitives: stable 64-bit hashes, MinHash, SimHash.
+
+Everything here is seed-deterministic and independent of
+``PYTHONHASHSEED`` (we never use builtin ``hash``). MinHash permutation
+parameters are a pure function of the config seed, so signatures computed
+in different workers / sessions agree — required for reproducible LSH
+blocking (SURVEY.md §2.4 J2) and for the content-addressed dedup that
+replaces the reference's md5 pair cache
+(/root/reference wdc.zip -> wdc/computers/prompt.py:13-20,169-176).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_MERSENNE_61 = (1 << 61) - 1
+_MAX64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def hash64(s: str) -> int:
+    """Stable 64-bit hash of a string (blake2b, 8-byte digest)."""
+    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
+
+
+def hash_bytes64(b: bytes) -> int:
+    return int.from_bytes(hashlib.blake2b(b, digest_size=8).digest(), "big")
+
+
+def content_hash(*parts: str) -> str:
+    """Stable hex content hash for deterministic ids / cache keys.
+
+    Replaces the reference's ``md5(s1||s2)`` cache key
+    (wdc/computers/prompt.py:169) with an order-independent-capable
+    variant: callers pass parts already ordered (e.g. ``min_id, max_id``).
+    """
+    h = hashlib.blake2b(digest_size=16)
+    for p in parts:
+        h.update(p.encode("utf-8"))
+        h.update(b"\x1f")
+    return h.hexdigest()
+
+
+def token_hashes(tokens: list[str]) -> np.ndarray:
+    """uint64 hash per token (vector)."""
+    if not tokens:
+        return np.empty(0, dtype=np.uint64)
+    return np.fromiter((hash64(t) for t in tokens), dtype=np.uint64, count=len(tokens))
+
+
+def make_perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    """(a, b) universal-hash parameters over the Mersenne prime 2^61-1."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE_61, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE_61, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """MinHash signature: min over tokens of (a*x + b) mod p, per permutation.
+
+    ``hashes``: uint64[n_tokens]; returns uint64[num_perm]. Empty input ->
+    all-max sentinel signature (never collides with real docs in a band).
+    """
+    if hashes.size == 0:
+        return np.full(a.shape[0], _MAX64, dtype=np.uint64)
+    # uint64 wrap-around multiply-add: deterministic, uniform enough for
+    # blocking (same scheme as minhash_signature_matrix — keep in sync).
+    with np.errstate(over="ignore"):
+        vals = (a[:, None] * hashes[None, :]) + b[:, None]
+    return vals.min(axis=1)
+
+
+def minhash_signature_matrix(
+    hash_lists: list[np.ndarray], a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """Batched signatures: one row per document. Vectorized with uint64
+    overflow-tolerant arithmetic (a*x+b computed mod 2^64 then reduced —
+    universal-hash quality is preserved well enough for blocking because
+    collisions only affect candidate recall marginally; verification is
+    exact downstream)."""
+    num_perm = a.shape[0]
+    out = np.full((len(hash_lists), num_perm), _MAX64, dtype=np.uint64)
+    for i, h in enumerate(hash_lists):
+        if h.size == 0:
+            continue
+        with np.errstate(over="ignore"):
+            vals = (a[:, None] * h[None, :]) + b[:, None]
+        out[i] = vals.min(axis=1)
+    return out
+
+
+def band_key(signature: np.ndarray, band: int, rows_per_band: int) -> int:
+    """Stable 64-bit key for one LSH band of a signature."""
+    lo = band * rows_per_band
+    return hash_bytes64(bytes([band]) + signature[lo : lo + rows_per_band].tobytes())
+
+
+def band_keys(signature: np.ndarray, num_bands: int, rows_per_band: int) -> list[int]:
+    return [band_key(signature, b, rows_per_band) for b in range(num_bands)]
+
+
+def simhash64(hashes: np.ndarray, weights: np.ndarray | None = None) -> int:
+    """64-bit SimHash over token hashes (optionally weighted)."""
+    if hashes.size == 0:
+        return 0
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.float64
+    )
+    if weights is None:
+        weights = np.ones(hashes.size)
+    acc = ((bits * 2.0 - 1.0) * weights[:, None]).sum(axis=0)
+    out = 0
+    for bit in range(64):
+        if acc[bit] > 0:
+            out |= 1 << bit
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")

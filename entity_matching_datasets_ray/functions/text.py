@@ -1,0 +1,145 @@
+"""Text-analysis kernels for large-scale training-data pipelines.
+
+Beyond the reference's scope (which normalizes entity records), a 100 TB
+training-data engine needs corpus hygiene operators. These are the pure
+kernels; stages/text_analysis.py wires them into ``map_batches``.
+
+- language-ID: stopword/character n-gram heuristic (no model deps);
+- quality score: length / punctuation / stopword-ratio heuristics
+  (Gopher/C4-style rules, public);
+- token counting: whitespace + a BPE-ish regex (GPT-2-style pretokenizer
+  pattern, public);
+- document fingerprint: polynomial rolling hash over normalized tokens.
+"""
+
+from __future__ import annotations
+
+import re
+
+from .hashing import hash64
+
+# --------------------------------------------------------------------------
+# language id
+# --------------------------------------------------------------------------
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for", "was", "with"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu", "mit", "von"},
+    "fr": {"le", "la", "les", "et", "est", "une", "un", "pas", "pour", "que", "dans"},
+    "es": {"el", "la", "los", "las", "y", "es", "un", "una", "que", "por", "con", "para"},
+    "it": {"il", "la", "che", "di", "e", "un", "una", "per", "non", "sono", "con"},
+}
+_WORD = re.compile(r"[a-zA-ZÀ-ɏ]+")
+_CJK = re.compile(r"[一-鿿぀-ヿ가-힯]")
+
+
+def detect_language(text: str | None) -> str:
+    """Heuristic language id: CJK by codepoint range, else stopword vote.
+
+    Returns an ISO-639-1 code or ``"und"`` when no signal.
+    """
+    if not text:
+        return "und"
+    sample = text[:2000]
+    cjk = len(_CJK.findall(sample))
+    words = [w.lower() for w in _WORD.findall(sample)]
+    if cjk > max(5, len(words)):
+        return "zh"
+    if not words:
+        return "und"
+    best_lang, best_hits = "und", 0
+    for lang, stops in _STOPWORDS.items():
+        hits = sum(1 for w in words if w in stops)
+        if hits > best_hits:
+            best_lang, best_hits = lang, hits
+    if best_hits == 0:
+        return "und"
+    return best_lang
+
+
+# --------------------------------------------------------------------------
+# quality scoring
+# --------------------------------------------------------------------------
+
+_PUNCT = re.compile(r"[^\w\s]")
+_EN_STOPS = _STOPWORDS["en"]
+
+
+def quality_features(text: str | None) -> dict[str, float]:
+    """C4/Gopher-style quality signals (public heuristics)."""
+    if not text:
+        return {
+            "q_len": 0.0,
+            "q_mean_word_len": 0.0,
+            "q_punct_ratio": 0.0,
+            "q_stop_ratio": 0.0,
+            "q_alpha_ratio": 0.0,
+            "quality_score": 0.0,
+        }
+    n = len(text)
+    words = _WORD.findall(text)
+    n_words = len(words)
+    mean_wl = (sum(len(w) for w in words) / n_words) if n_words else 0.0
+    punct_ratio = len(_PUNCT.findall(text)) / n
+    stop_ratio = (sum(1 for w in words if w.lower() in _EN_STOPS) / n_words) if n_words else 0.0
+    alpha_ratio = sum(ch.isalpha() for ch in text) / n
+    # simple monotone score in [0,1]: reward sane word lengths, some
+    # stopwords, mostly-alphabetic text; penalize punctuation soup.
+    score = 0.0
+    if n_words >= 5:
+        score += 0.25
+    if 3.0 <= mean_wl <= 10.0:
+        score += 0.25
+    score += 0.25 * min(1.0, stop_ratio / 0.1)
+    score += 0.25 * alpha_ratio
+    score -= min(0.5, punct_ratio)
+    return {
+        "q_len": float(n),
+        "q_mean_word_len": mean_wl,
+        "q_punct_ratio": punct_ratio,
+        "q_stop_ratio": stop_ratio,
+        "q_alpha_ratio": alpha_ratio,
+        "quality_score": max(0.0, min(1.0, score)),
+    }
+
+
+# --------------------------------------------------------------------------
+# token counting
+# --------------------------------------------------------------------------
+
+# GPT-2-style pretokenizer regex (public pattern, simplified; no lookahead
+# on unicode categories to stay stdlib-`re` compatible).
+_BPEISH = re.compile(r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?\d+| ?[^\sA-Za-z\d]+|\s+(?!\S)|\s+")
+
+
+def count_tokens_ws(text: str | None) -> int:
+    """Whitespace token count."""
+    return len(text.split()) if text else 0
+
+
+def count_tokens_bpeish(text: str | None) -> int:
+    """BPE-ish pretoken count (upper bound on real BPE token count)."""
+    return len(_BPEISH.findall(text)) if text else 0
+
+
+# --------------------------------------------------------------------------
+# fingerprinting
+# --------------------------------------------------------------------------
+
+_FP_BASE = 1000003
+_FP_MOD = (1 << 61) - 1
+
+
+def document_fingerprint(text: str | None) -> int:
+    """Order-sensitive polynomial rolling hash over normalized tokens.
+
+    Whitespace/case-insensitive but order-sensitive: two documents with the
+    same token sequence get the same fingerprint. Used for cheap exact-ish
+    dedup keys.
+    """
+    if not text:
+        return 0
+    acc = 0
+    for tok in text.lower().split():
+        acc = (acc * _FP_BASE + hash64(tok)) % _FP_MOD
+    return acc

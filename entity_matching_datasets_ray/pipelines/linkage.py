@@ -1,0 +1,91 @@
+"""The flagship record-linkage pipeline: docs -> entity clusters.
+
+Composition (SURVEY.md §3 "Our engine's lifecycle"):
+
+    read docs (doc_id, spans)
+      -> extract+normalize      map_batches, zero-copy Arrow
+      -> blocking (SNM + LSH + exact keys)   groupby shuffles, capped blocks
+      -> exact pair dedup       groupby on (left_id, right_id)
+      -> feature scoring        hash joins + actor pool (IDF broadcast)
+      -> threshold filter -> matched edges
+      -> connected components   iterative groupby-min
+      -> canonical election     min doc_id per component (+ singletons)
+
+No stage materializes the full input; the only driver-side data are the
+IDF dict (bounded vocab) and per-round CC checksums.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import ray
+
+from ..stages.blocking import candidate_pairs
+from ..stages.clustering import attach_singletons, connected_components
+from ..stages.extract import extract_stage
+from ..stages.scoring import fit_idf, score_pairs
+
+
+@dataclass
+class LinkageConfig:
+    window: int = 10                  # SNM sliding window
+    num_perm: int = 32                # MinHash permutations
+    num_bands: int = 8                # LSH bands (rows = num_perm // bands)
+    seed: int = 42
+    threshold: float = 0.5            # match-score cutoff
+    num_partitions: int = 32          # shuffle/join partitioning
+    scorer_concurrency: int | tuple = 4
+    scorer_batch_size: int = 2048
+    max_vocab: int = 1_000_000
+    weights: dict | None = None
+    exact_keys: tuple = (("norm_brand", "modelno"), ("phone_norm",), ("skeleton_key",))
+
+
+def run_linkage(docs, config: LinkageConfig | None = None, return_intermediates: bool = False):
+    """docs Dataset -> clusters Dataset (doc_id, entity_id).
+
+    With ``return_intermediates`` also returns the entity table and scored
+    pairs (tests / metrics)."""
+    cfg = config or LinkageConfig()
+
+    entities = extract_stage(docs)
+    # The entity table is consumed by several downstream stages (blocking
+    # passes, both scorer joins, singleton attach); materialize once so the
+    # extract work isn't re-executed per consumer. It is ids+features only.
+    entities = entities.drop_columns(["spans"]).materialize()
+    n_docs = entities.count()
+
+    idf = fit_idf(entities, max_vocab=cfg.max_vocab)
+    idf_ref = ray.put(idf)
+
+    pairs = candidate_pairs(
+        entities,
+        window=cfg.window,
+        num_perm=cfg.num_perm,
+        num_bands=cfg.num_bands,
+        seed=cfg.seed,
+        num_partitions=cfg.num_partitions,
+        exact_keys=cfg.exact_keys,
+    )
+
+    scored = score_pairs(
+        pairs,
+        entities,
+        idf_ref,
+        n_docs=n_docs,
+        weights=cfg.weights,
+        num_partitions=cfg.num_partitions,
+        concurrency=cfg.scorer_concurrency,
+        batch_size=cfg.scorer_batch_size,
+    )
+
+    edges = scored.filter(expr=f"score >= {cfg.threshold}").select_columns(
+        ["left_id", "right_id"]
+    )
+    labels = connected_components(edges, num_partitions=cfg.num_partitions)
+    clusters = attach_singletons(labels, entities, num_partitions=cfg.num_partitions)
+
+    if return_intermediates:
+        return clusters, entities, scored
+    return clusters

@@ -1,0 +1,285 @@
+"""Pairwise feature scoring: stateful actor pool + calibrated logistic model.
+
+The engine-side replacement for the reference's per-pair LLM judgment
+(/root/reference/DeepMather/Amazon/prompt.py:151-206): candidate pairs are
+joined to their entity feature rows (hash join on doc_id), then a
+``map_batches`` actor pool computes Jaro-Winkler / Levenshtein /
+token-Jaccard / TF-IDF-cosine + typed-agreement features and a calibrated
+logistic score. The IDF vector is fitted once with a partial-aggregated
+groupby pass and broadcast via ``ray.put`` (read once per actor in
+``__init__`` — never re-shipped per batch). SURVEY.md §2.3 A1/A4.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from ..functions import similarity as S
+from .extract import token_rows
+
+# Entity columns carried through the pair joins (narrow on purpose: ids +
+# features only cross the shuffle; display fields re-join at the end —
+# SURVEY.md §7 "wide pair records").
+FEATURE_COLUMNS = [
+    "doc_id",
+    "norm_name",
+    "norm_brand",
+    "modelno",
+    "price_num",
+    "phone_norm",
+    "addr",
+    "city",
+    "venue",
+    "year",
+    "authors",
+    "artist",
+    "album",
+    "date_iso",
+    "time",
+]
+
+FEATURE_NAMES = [
+    "name_jw",
+    "name_lev",
+    "name_jac",
+    "name_ng_jac",
+    "name_contain",
+    "name_tfidf",
+    "brand_eq",
+    "model_eq",
+    "price_close",
+    "phone_eq",
+    "addr_jw",
+    "city_eq",
+    "venue_eq",
+    "year_eq",
+    "authors_jac",
+    "artist_jw",
+    "album_jw",
+    "date_eq",
+    "time_eq",
+]
+
+# Calibrated on the deterministic synthetic corpus: fit_logistic over the
+# blocking-produced candidate features of a 2000-entity seed-42 corpus
+# (see tests/test_pipeline_e2e.py); intercept last.
+DEFAULT_WEIGHTS = {
+    "name_jw": 1.183,
+    "name_lev": 1.908,
+    "name_jac": 1.885,
+    "name_ng_jac": 1.841,
+    "name_contain": 1.457,
+    "name_tfidf": 2.558,
+    "brand_eq": 0.945,
+    "model_eq": 1.811,
+    "price_close": 1.594,
+    "phone_eq": 3.028,
+    "addr_jw": 0.780,
+    "city_eq": 0.975,
+    "venue_eq": 0.770,
+    "year_eq": 1.796,
+    "authors_jac": 2.133,
+    "artist_jw": 0.685,
+    "album_jw": 0.694,
+    "date_eq": 1.478,
+    "time_eq": 1.467,
+    "_intercept": -17.011,
+}
+
+
+def fit_idf(entities, max_vocab: int = 1_000_000) -> dict[str, float]:
+    """Corpus IDF over normalized-name tokens.
+
+    Per-batch partial counts (extract.token_rows) -> groupby(token).sum —
+    the shuffle moves one row per distinct token per batch, not one per
+    token occurrence. Vocabulary capped at ``max_vocab`` by document
+    frequency (rare tail falls back to default idf in the scorer).
+    """
+    from ray.data.aggregate import Sum
+
+    n_docs = max(1, entities.count())
+    partials = entities.select_columns(["norm_name"]).map_batches(
+        token_rows, batch_format="pyarrow"
+    )
+    dfs = partials.groupby("token").aggregate(Sum("df", alias_name="df"))
+    if dfs.count() > max_vocab:
+        dfs = dfs.sort("df", descending=True).limit(max_vocab)
+    table = dfs.to_pandas()
+    return {
+        t: math.log((1.0 + n_docs) / (1.0 + d)) + 1.0
+        for t, d in zip(table["token"], table["df"])
+    }
+
+
+def default_idf_value(n_docs: int) -> float:
+    return math.log((1.0 + n_docs) / 2.0) + 1.0
+
+
+def compute_pair_features(left: dict, right: dict, idf: dict[str, float], default_idf: float) -> list[float]:
+    """One candidate pair -> feature vector (FEATURE_NAMES order)."""
+    ln, rn = left["norm_name"] or "", right["norm_name"] or ""
+    lt, rt = ln.split(" ") if ln else [], rn.split(" ") if rn else []
+    la, ra = (left["authors"] or "").lower().split(", "), (right["authors"] or "").lower().split(", ")
+    sl, sr = set(lt), set(rt)
+    contain = (len(sl & sr) / min(len(sl), len(sr))) if sl and sr else (1.0 if sl == sr else 0.0)
+    return [
+        S.jaro_winkler(ln, rn),
+        S.levenshtein_ratio(ln, rn),
+        S.token_jaccard(lt, rt),
+        S.ngram_jaccard(ln, rn, 3),
+        contain,
+        S.tfidf_cosine(lt, rt, idf, default_idf),
+        S.exact_or_missing(left["norm_brand"], right["norm_brand"]),
+        S.exact_or_missing(left["modelno"], right["modelno"]),
+        S.numeric_closeness(left["price_num"], right["price_num"]),
+        S.exact_or_missing(left["phone_norm"], right["phone_norm"]),
+        S.jaro_winkler((left["addr"] or "").lower(), (right["addr"] or "").lower())
+        if (left["addr"] or right["addr"])
+        else 0.5,
+        S.exact_or_missing(left["city"], right["city"]),
+        S.exact_or_missing(left["venue"], right["venue"]),
+        S.exact_or_missing(left["year"], right["year"]),
+        S.token_jaccard(la, ra) if (left["authors"] or right["authors"]) else 0.5,
+        S.jaro_winkler(left["artist"] or "", right["artist"] or "")
+        if (left["artist"] or right["artist"])
+        else 0.5,
+        S.jaro_winkler(left["album"] or "", right["album"] or "")
+        if (left["album"] or right["album"])
+        else 0.5,
+        S.exact_or_missing(left["date_iso"], right["date_iso"]),
+        S.exact_or_missing(left["time"], right["time"]),
+    ]
+
+
+class PairScorer:
+    """Actor-pool callable: scores batches of joined candidate pairs.
+
+    ``__init__`` runs once per actor: resolves the broadcast IDF object ref
+    (``ray.put`` on the driver), materializes the weight vector. ``__call__``
+    runs per batch. SURVEY.md §2.3 A1.
+    """
+
+    def __init__(
+        self,
+        idf_ref,
+        n_docs: int,
+        weights: dict[str, float] | None = None,
+    ):
+        self.idf = ray.get(idf_ref) if isinstance(idf_ref, ray.ObjectRef) else idf_ref
+        self.default_idf = default_idf_value(n_docs)
+        w = dict(DEFAULT_WEIGHTS)
+        if weights:
+            w.update(weights)
+        self.w = np.array([w[f] for f in FEATURE_NAMES])
+        self.b = w["_intercept"]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        feats = np.empty((n, len(FEATURE_NAMES)))
+        lcols = {f: batch[f"l_{f}"].tolist() for f in FEATURE_COLUMNS if f != "doc_id"}
+        rcols = {f: batch[f"r_{f}"].tolist() for f in FEATURE_COLUMNS if f != "doc_id"}
+        for i in range(n):
+            left = {f: _none_if_na(lcols[f][i]) for f in lcols}
+            right = {f: _none_if_na(rcols[f][i]) for f in rcols}
+            feats[i] = compute_pair_features(left, right, self.idf, self.default_idf)
+        z = feats @ self.w + self.b
+        score = 1.0 / (1.0 + np.exp(-z))
+        out = pd.DataFrame({"left_id": batch["left_id"], "right_id": batch["right_id"]})
+        for j, f in enumerate(FEATURE_NAMES):
+            out[f] = feats[:, j]
+        out["score"] = score
+        return out
+
+
+def _none_if_na(v):
+    if v is None:
+        return None
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    return v
+
+
+def _prefixed(entities, prefix: str):
+    sel = entities.select_columns(FEATURE_COLUMNS)
+    names = [f"{prefix}{c}" for c in FEATURE_COLUMNS]
+    return sel.map_batches(
+        lambda t, names=names: t.rename_columns(names), batch_format="pyarrow"
+    )
+
+
+def score_pairs(
+    pairs,
+    entities,
+    idf_ref,
+    n_docs: int,
+    weights: dict[str, float] | None = None,
+    num_partitions: int = 32,
+    concurrency: int | tuple[int, int] = 4,
+    batch_size: int = 2048,
+):
+    """pairs (left_id,right_id) x entities -> scored pairs.
+
+    Two hash joins bring each side's feature row to the pair (both sides
+    large at 10^12 docs -> partitioned hash join, not broadcast), then the
+    scorer actor pool computes features + logistic score.
+    """
+    left_feat = _prefixed(entities, "l_")
+    right_feat = _prefixed(entities, "r_")
+    joined = pairs.join(
+        left_feat,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("left_id",),
+        right_on=("l_doc_id",),
+    )
+    joined = joined.join(
+        right_feat,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("right_id",),
+        right_on=("r_doc_id",),
+    )
+    return joined.map_batches(
+        PairScorer,
+        fn_constructor_kwargs=dict(idf_ref=idf_ref, n_docs=n_docs, weights=weights),
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+# --------------------------------------------------------------------------
+# calibration (deterministic logistic fit, plain numpy)
+# --------------------------------------------------------------------------
+
+
+def fit_logistic(
+    X: np.ndarray, y: np.ndarray, iters: int = 25, l2: float = 1e-3
+) -> tuple[np.ndarray, float]:
+    """Deterministic class-balanced IRLS (Newton) logistic regression.
+
+    Class weights equalize the positive/negative mass so the heavily
+    negative-skewed candidate set (blocking emits ~100x more non-matches
+    than matches) doesn't drown the positives."""
+    n, d = X.shape
+    Xa = np.hstack([X, np.ones((n, 1))])
+    w = np.zeros(d + 1)
+    n_pos = max(1.0, y.sum())
+    n_neg = max(1.0, n - y.sum())
+    sw = np.where(y == 1, n / (2 * n_pos), n / (2 * n_neg))
+    reg = l2 * np.eye(d + 1)
+    reg[d, d] = 0.0  # don't regularize the intercept
+    for _ in range(iters):
+        z = np.clip(Xa @ w, -35, 35)
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = Xa.T @ (sw * (p - y)) / n + reg @ w
+        r = np.maximum(sw * p * (1 - p), 1e-9)
+        H = (Xa * r[:, None]).T @ Xa / n + reg
+        w -= np.linalg.solve(H, g)
+    return w[:d], float(w[d])
