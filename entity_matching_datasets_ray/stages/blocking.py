@@ -1,8 +1,8 @@
 """Multi-pass blocking: sorted-neighborhood, MinHash-LSH, exact keys.
 
 Produces candidate pairs ``(left_id, right_id, src)`` with
-``left_id < right_id``. Three independent passes whose union drives recall
-(the reference consumes pre-joined benchmark pairs —
+``left_id < right_id``. Three independent pass families whose union drives
+recall (the reference consumes pre-joined benchmark pairs —
 /root/reference/DeepMather/*/train.csv — our engine *produces* the pairing,
 SURVEY.md §2.4 J1/J2):
 
@@ -10,26 +10,35 @@ SURVEY.md §2.4 J1/J2):
   sort within bucket by the full key, emit pairs within a sliding window.
   Partitioning assumption: a neighborhood never spans buckets whose first
   sorted tokens differ (word-order noise is absorbed by token sorting;
-  first-token edits are caught by the LSH pass instead).
-- **LSH**: MinHash over name tokens, banded; docs sharing any band bucket
-  become candidates.
+  first-token edits are caught by the LSH and skeleton passes instead).
+- **LSH**: MinHash over char-3-gram shingles of the normalized name,
+  banded; docs sharing any band bucket become candidates. Shingles (not
+  word tokens) keep band collision probability high under typos.
 - **exact keys**: equality blocks on strong identifiers
-  (brand+modelno, phone).
+  (brand+modelno, phone, typo-invariant name skeleton).
+
+Physical plan note (scale): the groupbys here use **two-level grouping** —
+block keys are hashed into ``num_buckets`` coarse buckets, Ray shuffles by
+bucket, and a pandas-level groupby inside each bucket walks the real
+blocks. This keeps the number of Ray-level groups (and their per-group
+dispatch overhead) bounded regardless of how many distinct block keys
+exist; ``num_buckets`` scales with cluster size, not key cardinality.
 
 Skew handling: any block larger than ``max_block_size`` is truncated to a
-deterministic sample (sorted by doc_id) and the overflow is *counted*, not
-silently dropped — emitted per-block in the ``overflow`` column of the pair
-stream so callers can meter it. At 100 TB a hot block (e.g. empty-name
-docs) would otherwise emit O(k^2) pairs.
+deterministic prefix (sorted by doc_id) — bounded O(k*cap) pair emission
+instead of O(k^2) on hot keys (e.g. near-empty names at 100 TB). Truncated
+rows are counted in the ``overflow`` column of the emitted pair stream so
+callers can meter dropped coverage (never silent).
 """
 
 from __future__ import annotations
 
-from typing import Iterator
+import hashlib
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.hashing import (
     band_keys,
@@ -41,46 +50,71 @@ from ..functions.similarity import ngram_shingles
 
 PAIR_COLUMNS = ["left_id", "right_id", "src"]
 
-_EMPTY_PAIRS = pd.DataFrame({"left_id": pd.Series([], dtype=str),
-                             "right_id": pd.Series([], dtype=str),
-                             "src": pd.Series([], dtype=str)})
+# Fan-out of the two-level grouping. On an N-node cluster raise this to
+# ~4-8x the total core count so buckets stay small and balanced.
+DEFAULT_NUM_BUCKETS = 64
+
+_HASH_SEED = np.uint64(0x9E3779B97F4A7C15)
 
 
-def _emit_all_pairs(ids: list[str], src: str) -> pd.DataFrame:
+def _str_bucket(values: list, num_buckets: int) -> pa.Array:
+    lut: dict[str, int] = {}
+    out = np.empty(len(values), dtype=np.int32)
+    for i, v in enumerate(values):
+        b = lut.get(v)
+        if b is None:
+            b = (
+                int.from_bytes(hashlib.blake2b(v.encode(), digest_size=8).digest(), "big")
+                % num_buckets
+            )
+            lut[v] = b
+        out[i] = b
+    return pa.array(out, pa.int32())
+
+
+def _u64_bucket(arr: pa.Array, num_buckets: int) -> pa.Array:
+    with np.errstate(over="ignore"):
+        h = arr.to_numpy(zero_copy_only=False) * _HASH_SEED
+    return pa.array((h % np.uint64(num_buckets)).astype(np.int32), pa.int32())
+
+
+def _pairs_frame(left: list, right: list, src: str, overflow: int = 0) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "left_id": pd.Series(left, dtype=str),
+            "right_id": pd.Series(right, dtype=str),
+            "src": pd.Series([src] * len(left), dtype=str),
+            "overflow": pd.Series([overflow] * len(left), dtype=np.int64),
+        }
+    )
+
+
+def _emit_all(ids, left: list, right: list):
     n = len(ids)
-    if n < 2:
-        return _EMPTY_PAIRS
-    left, right = [], []
     for i in range(n):
+        a = ids[i]
         for j in range(i + 1, n):
-            a, b = ids[i], ids[j]
-            if a > b:
-                a, b = b, a
-            left.append(a)
-            right.append(b)
-    return pd.DataFrame({"left_id": left, "right_id": right, "src": src})
+            b = ids[j]
+            if a <= b:
+                left.append(a)
+                right.append(b)
+            else:
+                left.append(b)
+                right.append(a)
 
 
-def _emit_window_pairs(ids: list[str], window: int, src: str) -> pd.DataFrame:
+def _emit_window(ids, window: int, left: list, right: list):
     n = len(ids)
-    if n < 2:
-        return _EMPTY_PAIRS
-    left, right = [], []
     for i in range(n):
+        a = ids[i]
         for j in range(i + 1, min(i + 1 + window, n)):
-            a, b = ids[i], ids[j]
-            if a > b:
-                a, b = b, a
-            left.append(a)
-            right.append(b)
-    return pd.DataFrame({"left_id": left, "right_id": right, "src": src})
-
-
-def _cap_group(g: pd.DataFrame, max_block_size: int) -> pd.DataFrame:
-    """Deterministic truncation of hot blocks (sorted by doc_id)."""
-    if len(g) <= max_block_size:
-        return g
-    return g.nsmallest(max_block_size, "doc_id") if "doc_id" in g else g.iloc[:max_block_size]
+            b = ids[j]
+            if a <= b:
+                left.append(a)
+                right.append(b)
+            else:
+                left.append(b)
+                right.append(a)
 
 
 # --------------------------------------------------------------------------
@@ -88,36 +122,52 @@ def _cap_group(g: pd.DataFrame, max_block_size: int) -> pd.DataFrame:
 # --------------------------------------------------------------------------
 
 
-def snm_pairs(entities, window: int = 10, max_block_size: int = 5000, num_partitions: int | None = None):
-    """Sorted-neighborhood blocking.
+def snm_pairs(
+    entities,
+    window: int = 10,
+    max_block_size: int = 5000,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    num_partitions: int | None = None,
+):
+    """Sorted-neighborhood blocking (see module docstring).
 
-    groupby(first sorted token) -> sort within group by full snm_key ->
-    sliding-window pair emission. The groupby is the only shuffle; window
-    emission is per-group, so no global sort with cross-partition boundary
-    windows is needed (SURVEY.md §7 step 4a).
+    Neighborhood unit = all rows sharing a first sorted token; rows are
+    ordered by the full snm_key within it and compared within ``window``.
     """
-    import pyarrow.compute as pc
 
     def add_bucket(t: pa.Table) -> pa.Table:
         keys = t.column("snm_key").to_pylist()
-        bucket = [k.split(" ", 1)[0] if k else "" for k in keys]
-        return t.append_column("snm_bucket", pa.array(bucket, pa.string()))
-
-    keyed = (
-        entities.select_columns(["doc_id", "snm_key"])
-        .map_batches(add_bucket, batch_format="pyarrow")
-        .map_batches(
-            lambda t: t.filter(pc.not_equal(t["snm_bucket"], pa.scalar(""))),
-            batch_format="pyarrow",
+        first = [k.split(" ", 1)[0] if k else None for k in keys]
+        out = pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "snm_key": t.column("snm_key"),
+                "snm_first": pa.array(first, pa.string()),
+            }
         )
+        out = out.filter(pc.is_valid(out["snm_first"]))
+        return out.append_column(
+            "bucket", _str_bucket(out.column("snm_first").to_pylist(), num_buckets)
+        )
+
+    keyed = entities.select_columns(["doc_id", "snm_key"]).map_batches(
+        add_bucket, batch_format="pyarrow"
     )
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = _cap_group(g, max_block_size)
-        g = g.sort_values(["snm_key", "doc_id"])
-        return _emit_window_pairs(g["doc_id"].tolist(), window, "snm")
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        left: list = []
+        right: list = []
+        overflow = 0
+        df = df.sort_values(["snm_first", "snm_key", "doc_id"])
+        for _, g in df.groupby("snm_first", sort=False):
+            ids = g["doc_id"].to_numpy()
+            if len(ids) > max_block_size:
+                overflow += len(ids) - max_block_size
+                ids = ids[:max_block_size]
+            _emit_window(ids, window, left, right)
+        return _pairs_frame(left, right, "snm", overflow)
 
-    return keyed.groupby("snm_bucket", num_partitions=num_partitions).map_groups(
+    return keyed.groupby("bucket", num_partitions=num_partitions).map_groups(
         per_bucket, batch_format="pandas"
     )
 
@@ -132,29 +182,31 @@ class BandEmitter:
 
     Permutation parameters are derived once per actor in ``__init__`` from
     the config seed (pure function — every actor computes identical
-    parameters, no coordination needed)."""
+    parameters, no coordination needed). SURVEY.md §2.3 A4."""
 
     def __init__(self, num_perm: int = 32, num_bands: int = 8, seed: int = 42):
         self.a, self.b = make_perm_params(num_perm, seed)
         self.num_bands = num_bands
         self.rows_per_band = num_perm // num_bands
 
+    def _hashes(self, name: str) -> np.ndarray:
+        # char 3-gram shingles, not word tokens: a one-token typo perturbs
+        # only ~3 shingles, keeping MinHash Jaccard (and band collision
+        # probability) high for true duplicates.
+        return token_hashes(sorted(ngram_shingles(name, 3)))
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
         names = batch.column("norm_name").to_pylist()
-        # char 3-gram shingles, not word tokens: a one-token typo perturbs
-        # only ~3 shingles, keeping the MinHash Jaccard (and hence band
-        # collision probability) high for true duplicates.
         hash_lists = [
-            token_hashes(sorted(ngram_shingles(nn, 3))) if nn else np.empty(0, dtype=np.uint64)
-            for nn in names
+            self._hashes(nn) if nn else np.empty(0, dtype=np.uint64) for nn in names
         ]
         sigs = minhash_signature_matrix(hash_lists, self.a, self.b)
         out_ids: list[str] = []
         out_band: list[int] = []
         for i, doc_id in enumerate(doc_ids):
             if hash_lists[i].size == 0:
-                continue  # empty names never block (sentinel signature)
+                continue  # empty names never block
             for bk in band_keys(sigs[i], self.num_bands, self.rows_per_band):
                 out_ids.append(doc_id)
                 out_band.append(bk)
@@ -172,24 +224,43 @@ def lsh_pairs(
     num_bands: int = 8,
     seed: int = 42,
     max_block_size: int = 2000,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
     num_partitions: int | None = None,
     concurrency: int | None = None,
 ):
-    """MinHash-LSH blocking: doc -> band rows -> groupby(band) -> pairs."""
-    bands = entities.select_columns(["doc_id", "norm_name"]).map_batches(
-        BandEmitter,
-        fn_constructor_kwargs=dict(num_perm=num_perm, num_bands=num_bands, seed=seed),
-        batch_format="pyarrow",
-        batch_size=4096,
-        concurrency=concurrency or 4,
+    """MinHash-LSH blocking: doc -> band rows -> bucketed groupby -> pairs."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket", _u64_bucket(t.column("band").combine_chunks(), num_buckets)
+        )
+
+    bands = (
+        entities.select_columns(["doc_id", "norm_name"])
+        .map_batches(
+            BandEmitter,
+            fn_constructor_kwargs=dict(num_perm=num_perm, num_bands=num_bands, seed=seed),
+            batch_format="pyarrow",
+            batch_size=4096,
+            concurrency=concurrency or 4,
+        )
+        .map_batches(add_bucket, batch_format="pyarrow")
     )
 
-    def per_band(g: pd.DataFrame) -> pd.DataFrame:
-        g = _cap_group(g, max_block_size)
-        return _emit_all_pairs(sorted(g["doc_id"].tolist()), "lsh")
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        left: list = []
+        right: list = []
+        overflow = 0
+        for _, g in df.groupby("band", sort=False):
+            ids = np.sort(g["doc_id"].to_numpy())
+            if len(ids) > max_block_size:
+                overflow += len(ids) - max_block_size
+                ids = ids[:max_block_size]
+            _emit_all(ids, left, right)
+        return _pairs_frame(left, right, "lsh", overflow)
 
-    return bands.groupby("band", num_partitions=num_partitions).map_groups(
-        per_band, batch_format="pandas"
+    return bands.groupby("bucket", num_partitions=num_partitions).map_groups(
+        per_bucket, batch_format="pandas"
     )
 
 
@@ -203,6 +274,7 @@ def exact_key_pairs(
     key_columns: list[str],
     src: str,
     max_block_size: int = 1000,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
     num_partitions: int | None = None,
 ):
     """Equality blocking on a composite key (null-keyed rows excluded)."""
@@ -215,28 +287,35 @@ def exact_key_pairs(
                 keys.append(None)
             else:
                 keys.append("\x1f".join(str(v) for v in vals))
-        return pa.table(
+        out = pa.table(
             {
                 "doc_id": t.column("doc_id"),
                 "block_key": pa.array(keys, pa.string()),
             }
         )
-
-    keyed = (
-        entities.select_columns(["doc_id"] + key_columns)
-        .map_batches(add_key, batch_format="pyarrow")
-        .map_batches(
-            lambda t: t.filter(pa.compute.is_valid(t["block_key"])),
-            batch_format="pyarrow",
+        out = out.filter(pc.is_valid(out["block_key"]))
+        return out.append_column(
+            "bucket", _str_bucket(out.column("block_key").to_pylist(), num_buckets)
         )
+
+    keyed = entities.select_columns(["doc_id"] + key_columns).map_batches(
+        add_key, batch_format="pyarrow"
     )
 
-    def per_block(g: pd.DataFrame) -> pd.DataFrame:
-        g = _cap_group(g, max_block_size)
-        return _emit_all_pairs(sorted(g["doc_id"].tolist()), src)
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        left: list = []
+        right: list = []
+        overflow = 0
+        for _, g in df.groupby("block_key", sort=False):
+            ids = np.sort(g["doc_id"].to_numpy())
+            if len(ids) > max_block_size:
+                overflow += len(ids) - max_block_size
+                ids = ids[:max_block_size]
+            _emit_all(ids, left, right)
+        return _pairs_frame(left, right, src, overflow)
 
-    return keyed.groupby("block_key", num_partitions=num_partitions).map_groups(
-        per_block, batch_format="pandas"
+    return keyed.groupby("bucket", num_partitions=num_partitions).map_groups(
+        per_bucket, batch_format="pandas"
     )
 
 
@@ -245,19 +324,38 @@ def exact_key_pairs(
 # --------------------------------------------------------------------------
 
 
-def dedup_pairs(pairs, num_partitions: int | None = None):
+def dedup_pairs(pairs, num_buckets: int = DEFAULT_NUM_BUCKETS, num_partitions: int | None = None):
     """Exact candidate-pair dedup across blocking passes.
 
-    groupby on the (left_id, right_id) key, keep first — the engine-level
-    analogue of the reference's md5 pair cache (wdc/computers/prompt.py:169):
-    identical work is detected *before* the expensive scoring stage.
+    Bucket by pair-content hash, shuffle by bucket, pandas
+    ``drop_duplicates`` within bucket — the engine-level analogue of the
+    reference's md5 pair cache (wdc/computers/prompt.py:169): identical
+    work is detected *before* the expensive scoring stage.
     """
 
-    def first_row(g: pd.DataFrame) -> pd.DataFrame:
-        return g.iloc[:1]
+    def add_bucket(t: pa.Table) -> pa.Table:
+        l = t.column("left_id").to_pylist()
+        r = t.column("right_id").to_pylist()
+        b = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(f"{a}\x1f{c}".encode(), digest_size=8).digest(), "big"
+                )
+                % num_buckets
+                for a, c in zip(l, r)
+            ),
+            dtype=np.int32,
+            count=len(l),
+        )
+        return t.append_column("bucket", pa.array(b, pa.int32()))
 
-    return pairs.groupby(["left_id", "right_id"], num_partitions=num_partitions).map_groups(
-        first_row, batch_format="pandas"
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["left_id", "right_id"])[["left_id", "right_id", "src"]]
+
+    return (
+        pairs.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket", num_partitions=num_partitions)
+        .map_groups(per_bucket, batch_format="pandas")
     )
 
 
@@ -268,6 +366,7 @@ def candidate_pairs(
     num_bands: int = 8,
     seed: int = 42,
     num_partitions: int | None = None,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
     exact_keys: tuple[tuple[str, ...], ...] = (
         ("norm_brand", "modelno"),
         ("phone_norm",),
@@ -276,20 +375,27 @@ def candidate_pairs(
 ):
     """Union of all blocking passes, exact-deduped."""
     passes = [
-        snm_pairs(entities, window=window, num_partitions=num_partitions),
+        snm_pairs(entities, window=window, num_buckets=num_buckets, num_partitions=num_partitions),
         lsh_pairs(
             entities,
             num_perm=num_perm,
             num_bands=num_bands,
             seed=seed,
+            num_buckets=num_buckets,
             num_partitions=num_partitions,
         ),
     ]
     for i, cols in enumerate(exact_keys):
         passes.append(
-            exact_key_pairs(entities, list(cols), f"exact{i}", num_partitions=num_partitions)
+            exact_key_pairs(
+                entities,
+                list(cols),
+                f"exact{i}",
+                num_buckets=num_buckets,
+                num_partitions=num_partitions,
+            )
         )
     unioned = passes[0]
     for p in passes[1:]:
         unioned = unioned.union(p)
-    return dedup_pairs(unioned, num_partitions=num_partitions)
+    return dedup_pairs(unioned, num_buckets=num_buckets, num_partitions=num_partitions)
