@@ -35,7 +35,7 @@ class LinkageConfig:
     seed: int = 42
     threshold: float = 0.5            # match-score cutoff
     num_partitions: int = 32          # shuffle/join partitioning
-    scorer_concurrency: int | tuple = 4
+    scorer_concurrency: int | tuple = (1, 8)
     scorer_batch_size: int = 2048
     max_vocab: int = 1_000_000
     weights: dict | None = None

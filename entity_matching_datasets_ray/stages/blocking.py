@@ -226,7 +226,7 @@ def lsh_pairs(
     max_block_size: int = 2000,
     num_buckets: int = DEFAULT_NUM_BUCKETS,
     num_partitions: int | None = None,
-    concurrency: int | None = None,
+    concurrency: int | tuple | None = None,
 ):
     """MinHash-LSH blocking: doc -> band rows -> bucketed groupby -> pairs."""
 
@@ -242,7 +242,7 @@ def lsh_pairs(
             fn_constructor_kwargs=dict(num_perm=num_perm, num_bands=num_bands, seed=seed),
             batch_format="pyarrow",
             batch_size=4096,
-            concurrency=concurrency or 4,
+            concurrency=concurrency or (1, 4),
         )
         .map_batches(add_bucket, batch_format="pyarrow")
     )

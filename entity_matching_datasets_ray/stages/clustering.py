@@ -1,124 +1,184 @@
 """Transitive clustering: distributed connected components + canonical ids.
 
 Matched edges (score >= threshold) resolve into entity clusters via
-hash-partitioned iterative min-label propagation (a groupby-min fixpoint;
-SURVEY.md §2.5 G4). Canonical entity id = lexicographic min doc_id of the
-component — a deterministic election independent of execution order.
+hash-partitioned **alternating star contraction** (large-star / small-star,
+Kiveris et al., "Connected Components in MapReduce and Beyond", public
+algorithm) — the groupby-aggregate formulation mandated by the north star
+(BASELINE.json; SURVEY.md §2.5 G4). Canonical entity id = lexicographic min
+doc_id of the component — a deterministic election independent of
+execution order.
 
 Scale notes:
-- every round shuffles the (bidirectional) edge list once, grouped by node;
-  rounds needed = O(component diameter). Duplicate-document components are
-  shallow (diameter <= a few hops), so rounds stay small; ``max_rounds``
-  bounds pathological chains.
-- convergence is detected with a cheap order-independent checksum aggregate
-  over labels (no full-table comparison shuffle).
+- each round is two bucketed groupby shuffles over the edge list; the
+  algorithm converges in O(log n) rounds even for long-chain components
+  (plain min-label propagation would need O(diameter)).
+- grouping uses the same two-level bucketing as blocking: Ray shuffles by
+  ``hash(node) % num_buckets``; a pandas groupby inside the bucket walks
+  per-node groups vectorized, so per-group dispatch overhead is bounded.
+- convergence is detected with an order-independent XOR checksum over the
+  deduped edge set (cheap aggregate, no full-table comparison shuffle).
 - a driver-side union-find fast path handles edge sets below
-  ``driver_threshold`` (the frontier is provably small in tests); the
-  distributed path is the default and the two are property-tested equal.
+  ``driver_threshold``; the two paths are property-tested equal
+  (tests/test_clustering.py) against networkx.
 """
 
 from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ray.data.aggregate import Min
-
 LABEL_COLUMNS = ["doc_id", "entity_id"]
+DEFAULT_NUM_BUCKETS = 64
 
 
-def _checksum_batch(batch: pa.Table) -> pa.Table:
-    acc = 0
-    for node, label in zip(
-        batch.column("node").to_pylist(), batch.column("label").to_pylist()
-    ):
-        h = hashlib.blake2b(f"{node}\x1f{label}".encode(), digest_size=8).digest()
-        acc ^= int.from_bytes(h, "big")
-    return pa.table({"checksum": pa.array([acc], pa.uint64())})
+def _bucket_series(values: pd.Series, num_buckets: int) -> np.ndarray:
+    lut: dict[str, int] = {}
+    out = np.empty(len(values), dtype=np.int32)
+    for i, v in enumerate(values):
+        b = lut.get(v)
+        if b is None:
+            b = (
+                int.from_bytes(hashlib.blake2b(v.encode(), digest_size=8).digest(), "big")
+                % num_buckets
+            )
+            lut[v] = b
+        out[i] = b
+    return out
 
 
-def _labels_checksum(labels) -> int:
-    parts = labels.map_batches(_checksum_batch, batch_format="pyarrow").to_pandas()
+def _edges_checksum(edges) -> int:
+    def per_batch(t: pa.Table) -> pa.Table:
+        acc = 0
+        for a, b in zip(t.column("big").to_pylist(), t.column("small").to_pylist()):
+            h = hashlib.blake2b(f"{a}\x1f{b}".encode(), digest_size=8).digest()
+            acc ^= int.from_bytes(h, "big")
+        return pa.table({"checksum": pa.array([acc], pa.uint64())})
+
+    parts = edges.map_batches(per_batch, batch_format="pyarrow").to_pandas()
     acc = 0
     for v in parts["checksum"]:
         acc ^= int(v)
     return acc
 
 
+def _large_star(edges, num_buckets: int, num_partitions: int | None):
+    """(big, small) edges -> large-star round: every node u connects its
+    *larger* neighbors to min(N(u) ∪ {u})."""
+
+    def bidirect(t: pa.Table) -> pa.Table:
+        big = t.column("big").combine_chunks()
+        small = t.column("small").combine_chunks()
+        u = pa.concat_arrays([big, small])
+        v = pa.concat_arrays([small, big])
+        out = pa.table({"u": u, "v": v})
+        return out.append_column(
+            "bucket", pa.array(_bucket_series(pd.Series(u.to_pylist()), num_buckets), pa.int32())
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"big": pd.Series([], dtype=str), "small": pd.Series([], dtype=str)})
+        gmin = df.groupby("u")["v"].min()
+        m = df["u"].map(gmin)
+        m = m.where(m < df["u"], df["u"])  # min(N(u) ∪ {u})
+        mask = (df["v"] > df["u"]).to_numpy()
+        out = pd.DataFrame({"big": df["v"][mask], "small": m[mask]})
+        out = out[out.big != out.small]
+        return out.drop_duplicates()
+
+    return (
+        edges.map_batches(bidirect, batch_format="pyarrow")
+        .groupby("bucket", num_partitions=num_partitions)
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def _small_star(edges, num_buckets: int, num_partitions: int | None):
+    """(big, small) edges -> small-star round: every node u connects its
+    *smaller* neighbors (and itself) to the min smaller neighbor."""
+
+    def keyed(t: pa.Table) -> pa.Table:
+        out = pa.table({"u": t.column("big"), "v": t.column("small")})
+        return out.append_column(
+            "bucket",
+            pa.array(
+                _bucket_series(pd.Series(t.column("big").to_pylist()), num_buckets), pa.int32()
+            ),
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"big": pd.Series([], dtype=str), "small": pd.Series([], dtype=str)})
+        gmin = df.groupby("u")["v"].min()
+        m = df["u"].map(gmin).to_numpy()
+        mask = (df["v"].to_numpy() != m)
+        out = pd.DataFrame({"big": df["v"][mask], "small": pd.Series(m)[mask]})
+        star = pd.DataFrame({"big": gmin.index, "small": gmin.to_numpy()})
+        out = pd.concat([out, star], ignore_index=True)
+        out = out[out.big != out.small]
+        return out.drop_duplicates()
+
+    return (
+        edges.map_batches(keyed, batch_format="pyarrow")
+        .groupby("bucket", num_partitions=num_partitions)
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
 def connected_components_distributed(
-    edges, num_partitions: int | None = None, max_rounds: int = 12
+    edges,
+    num_partitions: int | None = None,
+    max_rounds: int = 30,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
 ):
-    """edges (left_id, right_id) -> labels Dataset (node, label).
+    """edges (left_id, right_id) -> labels Dataset (doc_id, entity_id).
 
-    Min-label propagation: each round, every node adopts the min label in
-    its closed neighborhood; implemented as edge-carried message passing
-    with a groupby-min — labels live *on the edges* (both endpoints), so no
-    per-round join is needed:
-
-        state: edge rows (u, v, label_u, label_v)
-        round: msgs = [(u, min(lu, lv)), (v, min(lu, lv))]
-               node_min = groupby(node).min(msg)     # one shuffle
-               re-attach: edge labels <- node_min     # via groupby on u, v
-
-    We instead keep the simpler (and equivalent) formulation over a
-    node-label table rebuilt per round from edge messages; each round costs
-    two groupby shuffles of the edge list.
+    Alternating large-star/small-star until the edge set reaches its
+    star-graph fixpoint, then labels are read off the final stars.
     """
 
-    def to_msgs(batch: pa.Table) -> pa.Table:
+    def orient(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        u = batch.column("left_id").combine_chunks()
-        v = batch.column("right_id").combine_chunks()
-        names = batch.column_names
-        lu = batch.column("label_u").combine_chunks() if "label_u" in names else u
-        lv = batch.column("label_v").combine_chunks() if "label_v" in names else v
-        m = pc.min_element_wise(lu, lv)
-        if isinstance(m, pa.ChunkedArray):
-            m = m.combine_chunks()
+        l = t.column("left_id").combine_chunks()
+        r = t.column("right_id").combine_chunks()
+        big = pc.max_element_wise(l, r)
+        small = pc.min_element_wise(l, r)
+        out = pa.table({"big": big, "small": small})
+        return out.filter(pc.not_equal(out["big"], out["small"]))
+
+    cur = edges.select_columns(["left_id", "right_id"]).map_batches(
+        orient, batch_format="pyarrow"
+    ).materialize()
+    prev_sum = _edges_checksum(cur)
+    for _ in range(max_rounds):
+        cur = _large_star(cur, num_buckets, num_partitions)
+        cur = _small_star(cur, num_buckets, num_partitions).materialize()
+        s = _edges_checksum(cur)
+        if s == prev_sum:
+            break
+        prev_sum = s
+
+    # fixpoint: stars (big -> root). Labels: leaf -> root, root -> itself.
+    def to_labels(t: pa.Table) -> pa.Table:
+        big = t.column("big").combine_chunks()
+        small = t.column("small").combine_chunks()
         return pa.table(
             {
-                "node": pa.concat_arrays([u, v]),
-                "label": pa.concat_arrays([m, m]),
+                "doc_id": pa.concat_arrays([big, small]),
+                "entity_id": pa.concat_arrays([small, small]),
             }
         )
 
-    # round 0: labels from raw edges (label = min endpoint of each edge)
-    edges = edges.select_columns(["left_id", "right_id"])
-    labels = (
-        edges.map_batches(to_msgs, batch_format="pyarrow")
-        .groupby("node", num_partitions=num_partitions)
-        .aggregate(Min("label", alias_name="label"))
-    ).materialize()
-    prev_sum = _labels_checksum(labels)
+    from ray.data.aggregate import Min
 
-    for _ in range(max_rounds):
-        # attach current labels to both edge endpoints (hash joins), emit
-        # min-label messages, take per-node min.
-        lu = labels.map_batches(
-            lambda t: t.rename_columns(["left_id", "label_u"]), batch_format="pyarrow"
-        )
-        lv = labels.map_batches(
-            lambda t: t.rename_columns(["right_id", "label_v"]), batch_format="pyarrow"
-        )
-        np_ = num_partitions or 16
-        e = edges.join(lu, join_type="inner", num_partitions=np_, on=("left_id",))
-        e = e.join(lv, join_type="inner", num_partitions=np_, on=("right_id",))
-        msgs = e.map_batches(to_msgs, batch_format="pyarrow")
-        self_msgs = labels.map_batches(lambda t: t, batch_format="pyarrow")
-        labels = (
-            msgs.union(self_msgs)
-            .groupby("node", num_partitions=num_partitions)
-            .aggregate(Min("label", alias_name="label"))
-        ).materialize()
-        cur = _labels_checksum(labels)
-        if cur == prev_sum:
-            break
-        prev_sum = cur
-    return labels.map_batches(
-        lambda t: t.rename_columns(["doc_id", "entity_id"]), batch_format="pyarrow"
+    return (
+        cur.map_batches(to_labels, batch_format="pyarrow")
+        .groupby("doc_id", num_partitions=num_partitions)
+        .aggregate(Min("entity_id", alias_name="entity_id"))
     )
 
 
@@ -158,10 +218,10 @@ def connected_components(
     edges,
     num_partitions: int | None = None,
     driver_threshold: int = 200_000,
-    max_rounds: int = 12,
+    max_rounds: int = 30,
 ):
-    """Dispatch: distributed label propagation, or driver union-find when
-    the matched-edge set is small enough to hold in one process."""
+    """Dispatch: distributed star contraction, or driver union-find when the
+    matched-edge set fits comfortably in one process."""
     n = edges.count()
     if n <= driver_threshold:
         import ray.data as rd

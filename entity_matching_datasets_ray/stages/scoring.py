@@ -220,7 +220,7 @@ def score_pairs(
     n_docs: int,
     weights: dict[str, float] | None = None,
     num_partitions: int = 32,
-    concurrency: int | tuple[int, int] = 4,
+    concurrency: int | tuple[int, int] = (1, 8),
     batch_size: int = 2048,
 ):
     """pairs (left_id,right_id) x entities -> scored pairs.

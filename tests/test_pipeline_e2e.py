@@ -1,0 +1,84 @@
+"""End-to-end linkage pipeline tests: F1 target + span invariant.
+
+North-rule gates (BASELINE.json): pairwise F1 >= 0.99 on the labeled
+duplicates at identical blocking keys; per-row span-sequence equality
+(kind, text, media_ref, order) preserved end-to-end.
+"""
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from entity_matching_datasets_ray.pipelines.evaluate import confusion_f1, pairwise_f1
+from entity_matching_datasets_ray.pipelines.linkage import LinkageConfig, run_linkage
+from entity_matching_datasets_ray.stages.extract import extract_entities, extract_stage
+from entity_matching_datasets_ray.synth import synth_docs_table, truth_pairs
+
+N_ENTITIES = 400
+
+
+@pytest.fixture(scope="module")
+def docs_table():
+    return synth_docs_table(N_ENTITIES)
+
+
+def test_f1_target(docs_table):
+    docs = rd.from_arrow(docs_table)
+    gold = rd.from_arrow(truth_pairs(N_ENTITIES))
+    clusters = run_linkage(docs, LinkageConfig(num_partitions=4, threshold=0.5))
+    m = pairwise_f1(clusters, gold, num_partitions=4)
+    assert m["f1"] >= 0.99, m
+
+
+def test_span_sequence_invariant(docs_table):
+    """The extract stage must pass the spans column through byte-identically
+    (kind, text, media_ref, offset order)."""
+    out = extract_entities(docs_table)
+    assert out.column("spans").to_pylist() == docs_table.column("spans").to_pylist()
+    assert out.column("doc_id").to_pylist() == docs_table.column("doc_id").to_pylist()
+
+
+def test_span_invariant_through_dataset(docs_table):
+    docs = rd.from_arrow(docs_table)
+    ents = extract_stage(docs).select_columns(["doc_id", "spans"]).to_pandas()
+    orig = docs_table.to_pandas().set_index("doc_id")["spans"]
+    for doc_id, spans in zip(ents.doc_id, ents.spans):
+        expect = orig[doc_id]
+        got = list(spans)
+        assert len(got) == len(expect)
+        for g, e in zip(got, expect):
+            assert (g["kind"], g["text"], g["media_ref"], g["offset"]) == (
+                e["kind"],
+                e["text"],
+                e["media_ref"],
+                e["offset"],
+            )
+
+
+def test_clusters_are_deterministic(docs_table):
+    docs = rd.from_arrow(docs_table)
+    c1 = run_linkage(docs, LinkageConfig(num_partitions=4)).to_pandas()
+    c2 = run_linkage(docs, LinkageConfig(num_partitions=2)).to_pandas()
+    m1 = dict(zip(c1.doc_id, c1.entity_id))
+    m2 = dict(zip(c2.doc_id, c2.entity_id))
+    assert m1 == m2  # independent of partitioning
+
+
+def test_canonical_id_is_min_doc_id(docs_table):
+    docs = rd.from_arrow(docs_table)
+    c = run_linkage(docs, LinkageConfig(num_partitions=4)).to_pandas()
+    for ent, grp in c.groupby("entity_id"):
+        assert ent == grp.doc_id.min()
+
+
+def test_confusion_f1_known_counts():
+    t = pa.table(
+        {
+            "gold": pa.array([1, 1, 1, 0, 0, 0, 1, 0], pa.int8()),
+            "pred": pa.array([1, 1, 0, 0, 1, 0, 1, 0], pa.int8()),
+        }
+    )
+    m = confusion_f1(rd.from_arrow(t))
+    assert m["tp"] == 3 and m["fp"] == 1 and m["fn"] == 1 and m["tn"] == 3
+    assert m["precision"] == pytest.approx(0.75)
+    assert m["recall"] == pytest.approx(0.75)
