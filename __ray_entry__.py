@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship record-linkage pipeline over
+  /root/testdata/sf0.001 (documents table adapted into the mandated
+  interleaved spans shape), returning the entity-cluster Dataset.
+- ``queries()``: one callable per implemented operator family
+  (SURVEY.md §2 + the training-data-pipeline extensions).
+- ``oracle_sql()``: DuckDB-checkable SQL for every relationally
+  expressible query; hash-heavy / model-driven ops (MinHash, SimHash,
+  linkage, ANN, language-ID) are rows-only by design.
 """
 
 from __future__ import annotations
@@ -18,27 +18,345 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from entity_matching_datasets_ray.pipelines.flagship import flagship_clusters
+
+    return flagship_clusters("/root/testdata/sf0.001")
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+
+def _linkage_clusters(sf_dir: str):
+    from entity_matching_datasets_ray.pipelines.flagship import flagship_clusters
+
+    return flagship_clusters(sf_dir)
+
+
+def _linkage_synth_f1(sf_dir: str):
+    """Seeded duplicate corpus -> one-row F1 report (rows-only check; the
+    >=0.99 gate is asserted in tests/test_pipeline_e2e.py)."""
+    import pandas as pd
+
+    from entity_matching_datasets_ray.pipelines.evaluate import pairwise_f1
+    from entity_matching_datasets_ray.pipelines.flagship import synthetic_linkage
+
+    clusters, gold = synthetic_linkage(n_entities=200)
+    m = pairwise_f1(clusters, gold, num_partitions=8)
+    return pd.DataFrame([m])
+
+
+def _exact_dedup_documents(sf_dir: str):
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.stages.dedup import exact_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return exact_dedup(ds, id_col="doc_id", text_col="text").sort("doc_id")
+
+
+def _minhash_dedup_documents(sf_dir: str):
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.stages.dedup import minhash_dedup_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_dedup_pairs(ds, threshold=0.8).sort(["left_id", "right_id"])
+
+
+def _simhash_pairs_documents(sf_dir: str):
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.stages.dedup import simhash_dedup_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_dedup_pairs(ds, max_hamming=3).sort(["left_id", "right_id"])
+
+
+def _embedding_dedup_pairs(sf_dir: str):
+    """Embedding near-dup pairs. The driver's embeddings are random (no
+    true near-dups), so the query plants jittered duplicates of the first
+    20 vectors (vec_id + 10^6) — the operator must recover exactly those
+    planted pairs."""
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.stages.dedup import embedding_dedup_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    head = ds.sort("vec_id").limit(20).to_pandas()
+    rng = np.random.RandomState(7)
+    dup_vecs = [
+        (np.asarray(v, dtype=np.float32) + rng.normal(0, 1e-3, len(v)).astype(np.float32)).tolist()
+        for v in head["embedding"]
+    ]
+    dups = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array((head["vec_id"] + 1_000_000).tolist(), pa.int64()),
+                "embedding": pa.array(dup_vecs, pa.list_(pa.float32())),
+            }
+        )
+    )
+    from ray.data.aggregate import Count
+
+    pairs = embedding_dedup_pairs(ds.union(dups), threshold=0.99)
+    # multi-probe buckets can emit the same pair from several signatures
+    return (
+        pairs.groupby(["left_id", "right_id"])
+        .aggregate(Count(alias_name="n_probes"))
+        .select_columns(["left_id", "right_id"])
+        .sort(["left_id", "right_id"])
+    )
+
+
+def _ann_bruteforce(sf_dir: str):
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.stages.ann import brute_force_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = ds.sort("vec_id").limit(5).to_pandas()
+    out = brute_force_topk(
+        ds, q["vec_id"].tolist(), np.stack(q["embedding"].to_numpy()), k=10
+    )
+    return out.select_columns(["query_id", "match_id"]).sort(["query_id", "match_id"])
+
+
+def _ann_lsh(sf_dir: str):
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.stages.ann import lsh_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = ds.sort("vec_id").limit(5).to_pandas()
+    out = lsh_topk(ds, q["vec_id"].tolist(), np.stack(q["embedding"].to_numpy()), k=10)
+    return out.select_columns(["query_id", "match_id"]).sort(["query_id", "match_id"])
+
+
+def _token_counts_documents(sf_dir: str):
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.stages.text_analysis import token_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return token_counts(ds).select_columns(["doc_id", "n_tokens_ws"]).sort("doc_id")
+
+
+def _annotate_documents(sf_dir: str):
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.stages.text_analysis import annotate_documents
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return annotate_documents(ds).select_columns(
+        ["doc_id", "lang_pred", "n_tokens_ws", "n_tokens_bpe", "quality_score"]
+    ).sort("doc_id")
+
+
+def _langid_histogram(sf_dir: str):
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.stages.text_analysis import language_histogram
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return language_histogram(ds).sort("lang_pred")
+
+
+def _confusion_eval(sf_dir: str):
+    """Confusion aggregate (SURVEY.md §2.5 G2) over a deterministic
+    gold/pred derivation from doc ids — SQL-checkable."""
+    import pandas as pd
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.pipelines.evaluate import confusion_f1
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "gold": pa.array((ids % 2 == 1).astype(np.int8), pa.int8()),
+                "pred": pa.array((ids % 3 == 0).astype(np.int8), pa.int8()),
+            }
+        )
+
+    m = confusion_f1(ds.map_batches(derive, batch_format="pyarrow"))
+    return pd.DataFrame(
+        [{"tp": m["tp"], "fp": m["fp"], "fn": m["fn"], "tn": m["tn"]}]
+    )
+
+
+def _media_features(sf_dir: str):
+    from entity_matching_datasets_ray.pipelines.flagship import docs_from_documents_table
+    from entity_matching_datasets_ray.stages.multimodal import featurize_media
+
+    docs = docs_from_documents_table(sf_dir)
+    return featurize_media(docs).select_columns(["doc_id", "kind", "media_ref"]).sort("doc_id")
+
+
+def _ditto_convert(sf_dir: str):
+    """Ditto text round-trip over deterministic synthesized lines
+    (converter pipeline E1 — rows-only; parser unit tests cover values)."""
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.sources.ditto import (
+        parse_ditto_lines,
+        infer_fields,
+        order_fields,
+        to_wide_rows,
+    )
+    from entity_matching_datasets_ray.synth import synth_docs_table
+    from entity_matching_datasets_ray.schema import fields_from_spans
+    from entity_matching_datasets_ray.functions.normalizers import format_colval
+
+    docs = synth_docs_table(100).to_pylist()
+    lines = []
+    for i in range(0, len(docs) - 1, 2):
+        l = fields_from_spans(docs[i]["spans"])
+        r = fields_from_spans(docs[i + 1]["spans"])
+        lines.append(
+            f"{format_colval(l, sorted(l))}\t{format_colval(r, sorted(r))}\t{i % 2}"
+        )
+    raw = rd.from_arrow(pa.table({"text": pa.array(lines, pa.string())}))
+    pairs = raw.map_batches(parse_ditto_lines, batch_format="pyarrow")
+    fields = order_fields(infer_fields(pairs), ["name"])
+    return to_wide_rows(pairs, fields).sort("id")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from entity_matching_datasets_ray.pipelines import relational as R
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational core (SQL oracles)
+        "pricing_summary": R.q_pricing_summary,
+        "top_orders": R.q_top_orders,
+        "revenue_by_nation": R.q_revenue_by_nation,
+        "segment_counts": R.q_segment_counts,
+        "events_hourly": R.q_events_hourly,
+        "part_type_stats": R.q_part_type_stats,
+        "distinct_langs": R.q_distinct_langs,
+        "customer_order_stats": R.q_customer_order_stats,
+        "lineitem_filter_project": R.q_lineitem_filter_project,
+        "exact_dedup_documents": _exact_dedup_documents,
+        "token_counts_documents": _token_counts_documents,
+        "confusion_eval": _confusion_eval,
+        # linkage + training-data ops (rows-only)
+        "linkage_clusters": _linkage_clusters,
+        "linkage_synth_f1": _linkage_synth_f1,
+        "minhash_dedup_documents": _minhash_dedup_documents,
+        "simhash_pairs_documents": _simhash_pairs_documents,
+        "embedding_dedup_pairs": _embedding_dedup_pairs,
+        "ann_bruteforce": _ann_bruteforce,
+        "ann_lsh": _ann_lsh,
+        "annotate_documents": _annotate_documents,
+        "langid_histogram": _langid_histogram,
+        "media_features": _media_features,
+        "ditto_convert": _ditto_convert,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   sum(l_extendedprice) AS sum_base_price,
+                   sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "top_orders": """
+            SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM orders
+            WHERE o_orderstatus = 'O'
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 10
+        """,
+        "revenue_by_nation": """
+            SELECT n_name, sum(o_totalprice) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+            ORDER BY n_name
+        """,
+        "segment_counts": """
+            SELECT c_mktsegment,
+                   count(*) AS n_customers,
+                   sum(c_acctbal) AS sum_acctbal
+            FROM customer
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment
+        """,
+        "events_hourly": """
+            SELECT event_type,
+                   date_trunc('hour', ts) AS ts_hour,
+                   count(*) AS n_events,
+                   sum(value) AS sum_value
+            FROM events
+            GROUP BY event_type, date_trunc('hour', ts)
+            ORDER BY event_type, ts_hour
+        """,
+        "part_type_stats": """
+            SELECT p_type,
+                   count(*) AS n_parts,
+                   sum(p_retailprice) AS sum_price,
+                   min(p_size) AS min_size,
+                   max(p_size) AS max_size
+            FROM part
+            GROUP BY p_type
+            ORDER BY p_type
+        """,
+        "distinct_langs": """
+            SELECT lang, count(*) AS n_docs
+            FROM documents
+            GROUP BY lang
+            ORDER BY lang
+        """,
+        "customer_order_stats": """
+            SELECT n_orders, count(*) AS n_customers
+            FROM (
+                SELECT o_custkey, count(*) AS n_orders
+                FROM orders GROUP BY o_custkey
+            )
+            GROUP BY n_orders
+            ORDER BY n_orders
+        """,
+        "lineitem_filter_project": """
+            SELECT l_orderkey, l_linenumber,
+                   l_extendedprice * (1 - l_discount) AS disc_price
+            FROM lineitem
+            WHERE l_discount >= 0.08
+            ORDER BY l_orderkey, l_linenumber
+        """,
+        "exact_dedup_documents": """
+            SELECT min(doc_id) AS doc_id
+            FROM documents
+            GROUP BY text
+            ORDER BY doc_id
+        """,
+        "token_counts_documents": """
+            SELECT doc_id,
+                   len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens_ws
+            FROM documents
+            ORDER BY doc_id
+        """,
+        "confusion_eval": """
+            SELECT
+              CAST(sum(CASE WHEN doc_id % 2 = 1 AND doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+              CAST(sum(CASE WHEN doc_id % 2 = 0 AND doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+              CAST(sum(CASE WHEN doc_id % 2 = 1 AND doc_id % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+              CAST(sum(CASE WHEN doc_id % 2 = 0 AND doc_id % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+            FROM documents
+        """,
+    }

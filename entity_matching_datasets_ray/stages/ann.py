@@ -1,0 +1,170 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``brute_force_topk``: exact cosine top-k — the query matrix is broadcast
+  once via ``ray.put``; every batch does one numpy matmul against it and
+  emits its local top-k; a final tiny groupby merge yields the global
+  top-k. The full corpus streams; only (n_queries x k) rows per batch
+  cross the wire.
+- ``lsh_topk``: the scale path — random-hyperplane bucketing (shared
+  deterministic planes) restricts each query's scan to docs in its (or
+  adjacent, multi-probe) buckets. Approximate: recall depends on
+  num_planes/probes; verified exact within buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+class _BruteScan:
+    """Actor: batch of vectors -> local top-k rows per query."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.qids = q["qids"]
+        self.Q = _normalize(np.asarray(q["vectors"], dtype=np.float32))  # (nq, d)
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(self.id_col).to_pylist())
+        V = _normalize(np.asarray(batch.column(self.vec_col).to_pylist(), dtype=np.float32))
+        sims = self.Q @ V.T  # (nq, nb)
+        k = min(self.k, sims.shape[1])
+        out_q, out_id, out_sim = [], [], []
+        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        for qi in range(sims.shape[0]):
+            for j in part[qi]:
+                out_q.append(self.qids[qi])
+                out_id.append(ids[j])
+                out_sim.append(float(sims[qi, j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q),
+                "match_id": pa.array(out_id),
+                "cosine": pa.array(out_sim, pa.float32()),
+            }
+        )
+
+
+def brute_force_topk(
+    ds,
+    query_ids: list,
+    query_vectors,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_partitions: int = 8,
+    concurrency=(1, 4),
+):
+    """Exact cosine top-k for each query over the full corpus."""
+    ref = ray.put({"qids": list(query_ids), "vectors": np.asarray(query_vectors, dtype=np.float32)})
+    locals_ = ds.select_columns([id_col, vec_col]).map_batches(
+        _BruteScan,
+        fn_constructor_args=(ref, k, id_col, vec_col),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=concurrency,
+    )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["cosine", "match_id"], ascending=[False, True]).head(k)
+
+    return locals_.groupby("query_id", num_partitions=num_partitions).map_groups(
+        merge, batch_format="pandas"
+    )
+
+
+def _plane_sigs(V: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    proj = V @ planes
+    bits = (proj > 0).astype(np.uint64)
+    sig = np.zeros(V.shape[0], dtype=np.uint64)
+    for b in range(planes.shape[1]):
+        sig |= bits[:, b] << np.uint64(b)
+    return sig
+
+
+def lsh_topk(
+    ds,
+    query_ids: list,
+    query_vectors,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    probes: int = 2,
+    seed: int = 42,
+    num_partitions: int = 8,
+):
+    """Bucketed approximate top-k: docs and queries are hashed with the same
+    deterministic hyperplanes; each query scans only its probe buckets."""
+    Q = np.asarray(query_vectors, dtype=np.float32)
+    dim = Q.shape[1]
+    planes = np.random.RandomState(seed).randn(dim, num_planes).astype(np.float32)
+    qsig_base = _plane_sigs(_normalize(Q), planes)
+    # query probe signatures: exact + lowest-margin bit flips
+    qsigs: dict[int, list[tuple]] = {}
+    proj = _normalize(Q) @ planes
+    for qi, qid in enumerate(query_ids):
+        sigs = [int(qsig_base[qi])]
+        for b in np.argsort(np.abs(proj[qi]))[:probes]:
+            sigs.append(int(qsig_base[qi]) ^ (1 << int(b)))
+        for s in sigs:
+            qsigs.setdefault(s, []).append((qid, qi))
+    ref = ray.put({"qsigs": qsigs, "Q": _normalize(Q)})
+
+    class BucketScan:
+        def __init__(self):
+            obj = ray.get(ref)
+            self.qsigs = obj["qsigs"]
+            self.Q = obj["Q"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column(id_col).to_pylist())
+            V = _normalize(np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float32))
+            sig = _plane_sigs(V, planes)
+            out_q, out_id, out_sim = [], [], []
+            for s, qlist in self.qsigs.items():
+                mask = sig == np.uint64(s)
+                if not mask.any():
+                    continue
+                sub_ids = ids[mask]
+                sub_V = V[mask]
+                for qid, qi in qlist:
+                    sims = sub_V @ self.Q[qi]
+                    kk = min(k, len(sims))
+                    top = np.argpartition(-sims, kk - 1)[:kk] if kk > 0 else []
+                    for j in top:
+                        out_q.append(qid)
+                        out_id.append(sub_ids[j])
+                        out_sim.append(float(sims[j]))
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q),
+                    "match_id": pa.array(out_id),
+                    "cosine": pa.array(out_sim, pa.float32()),
+                }
+            )
+
+    locals_ = ds.select_columns([id_col, vec_col]).map_batches(
+        BucketScan, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4)
+    )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["query_id", "match_id"])
+        return df.sort_values(["cosine", "match_id"], ascending=[False, True]).head(k)
+
+    return locals_.groupby("query_id", num_partitions=num_partitions).map_groups(
+        merge, batch_format="pandas"
+    )

@@ -1,0 +1,450 @@
+"""Document deduplication family: exact, MinHash-LSH, SimHash, n-gram
+Jaccard, embedding-cosine.
+
+Core training-data-pipeline operators beyond the reference's scope (the
+reference's only dedup is its md5 pair cache, wdc/computers/prompt.py:169;
+these generalize it to corpus-level near-dup mining). All operate on a
+Dataset with an id column and a text (or embedding) column and share one
+shape:
+
+    signature map_batches  ->  bucketed groupby (candidates)
+    ->  verify (exact predicate)  ->  connected components  ->  keep min id
+
+Survivor semantics: one representative per duplicate cluster, the minimum
+id (deterministic). ``xxx_dedup`` returns the survivor id set;
+``xxx_pairs`` exposes the verified duplicate pairs for inspection.
+
+Scale: signatures are fixed-size per doc; candidate groupbys use the same
+bucketed two-level grouping as blocking; verification is per-pair exact —
+only candidate pairs (not the cross product) are ever materialized.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import (
+    band_keys,
+    hamming64,
+    make_perm_params,
+    minhash_signature_matrix,
+    simhash64,
+    token_hashes,
+)
+from ..functions.similarity import ngram_shingles, token_jaccard
+from ..functions.text import document_fingerprint
+from .clustering import connected_components
+
+DEFAULT_NUM_BUCKETS = 64
+
+
+def _hash_text(s: str) -> str:
+    return hashlib.blake2b(s.encode("utf-8"), digest_size=16).hexdigest()
+
+
+def _survivors_from_pairs(pairs, all_ids, num_partitions: int = 16):
+    """duplicate pairs + full id set -> survivor ids (min id per cluster)."""
+    labels = connected_components(pairs, num_partitions=num_partitions)
+    # survivors = ids that are their own cluster root, plus ids not in any pair
+    import pyarrow.compute as pc
+
+    roots = labels.map_batches(
+        lambda t: t.filter(pc.equal(t["doc_id"], t["entity_id"])).select(["doc_id"]),
+        batch_format="pyarrow",
+    )
+    members = labels.select_columns(["doc_id"])
+    non_dup = all_ids.join(
+        members.map_batches(
+            lambda t: t.append_column("in_pair", pa.array([1] * t.num_rows, pa.int8())),
+            batch_format="pyarrow",
+        ),
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("doc_id",),
+    ).map_batches(
+        lambda t: t.filter(pc.is_null(t["in_pair"])).select(["doc_id"]),
+        batch_format="pyarrow",
+    )
+    return roots.union(non_dup)
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+
+def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text", num_partitions: int | None = None):
+    """Exact duplicate removal: hash(text) -> groupby -> keep min id.
+
+    SQL-equivalent: SELECT min(id) FROM t GROUP BY text.
+    """
+    from ray.data.aggregate import Min
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "content_key": pa.array([_hash_text(s or "") for s in texts], pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("content_key", num_partitions=num_partitions)
+        .aggregate(Min(id_col, alias_name=id_col))
+        .select_columns([id_col])
+    )
+
+
+def fingerprint_dedup(ds, id_col: str = "doc_id", text_col: str = "text", num_partitions: int | None = None):
+    """Token-sequence fingerprint dedup (case/whitespace-insensitive,
+    order-sensitive): rolling-hash fingerprint -> keep min id."""
+    from ray.data.aggregate import Min
+
+    def add_fp(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "fingerprint": pa.array(
+                    [document_fingerprint(s) for s in texts], pa.uint64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(add_fp, batch_format="pyarrow")
+        .groupby("fingerprint", num_partitions=num_partitions)
+        .aggregate(Min(id_col, alias_name=id_col))
+        .select_columns([id_col])
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash-LSH near-dup
+# --------------------------------------------------------------------------
+
+
+class _MinHashBands:
+    """Actor: text -> (id, band) rows (shingle -> minhash -> band)."""
+
+    def __init__(self, id_col, text_col, num_perm, num_bands, shingle_n, seed):
+        self.id_col = id_col
+        self.text_col = text_col
+        self.a, self.b = make_perm_params(num_perm, seed)
+        self.num_bands = num_bands
+        self.rows_per_band = num_perm // num_bands
+        self.shingle_n = shingle_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        texts = batch.column(self.text_col).to_pylist()
+        hash_lists = [
+            token_hashes(sorted(ngram_shingles((s or "").lower(), self.shingle_n)))
+            for s in texts
+        ]
+        sigs = minhash_signature_matrix(hash_lists, self.a, self.b)
+        out_ids, out_band = [], []
+        for i, did in enumerate(ids):
+            if hash_lists[i].size == 0:
+                continue
+            for bk in band_keys(sigs[i], self.num_bands, self.rows_per_band):
+                out_ids.append(did)
+                out_band.append(bk)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, type=batch.schema.field(self.id_col).type),
+                "band": pa.array(out_band, pa.uint64()),
+            }
+        )
+
+
+def _band_candidates(bands, num_buckets: int, num_partitions: int | None, max_block_size: int = 1000):
+    def add_bucket(t: pa.Table) -> pa.Table:
+        with np.errstate(over="ignore"):
+            h = t.column("band").combine_chunks().to_numpy(zero_copy_only=False) * np.uint64(
+                0x9E3779B97F4A7C15
+            )
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int32), pa.int32())
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        left, right = [], []
+        for _, g in df.groupby("band", sort=False):
+            ids = np.sort(g["doc_id"].unique())
+            if len(ids) > max_block_size:
+                ids = ids[:max_block_size]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    left.append(ids[i])
+                    right.append(ids[j])
+        return pd.DataFrame({"left_id": left, "right_id": right}).drop_duplicates()
+
+    return (
+        bands.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket", num_partitions=num_partitions)
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+class _JaccardVerify:
+    """Actor: verify candidate pairs by exact shingle Jaccard. The text of
+    both sides is attached via hash joins before this stage."""
+
+    def __init__(self, threshold: float, shingle_n: int):
+        self.threshold = threshold
+        self.shingle_n = shingle_n
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        keep_l, keep_r, sims = [], [], []
+        for l, r, tl, tr in zip(
+            batch["left_id"], batch["right_id"], batch["l_text"], batch["r_text"]
+        ):
+            j = token_jaccard(
+                ngram_shingles((tl or "").lower(), self.shingle_n),
+                ngram_shingles((tr or "").lower(), self.shingle_n),
+            )
+            if j >= self.threshold:
+                keep_l.append(l)
+                keep_r.append(r)
+                sims.append(j)
+        return pd.DataFrame({"left_id": keep_l, "right_id": keep_r, "jaccard": sims})
+
+
+def _attach_texts(pairs, ds, id_col, text_col, num_partitions):
+    def rename(prefix):
+        def f(t: pa.Table) -> pa.Table:
+            return t.rename_columns([f"{prefix}_id_key", f"{prefix}_text"])
+
+        return f
+
+    lt = ds.select_columns([id_col, text_col]).map_batches(rename("l"), batch_format="pyarrow")
+    rt = ds.select_columns([id_col, text_col]).map_batches(rename("r"), batch_format="pyarrow")
+    out = pairs.join(lt, join_type="inner", num_partitions=num_partitions, on=("left_id",), right_on=("l_id_key",))
+    return out.join(rt, join_type="inner", num_partitions=num_partitions, on=("right_id",), right_on=("r_id_key",))
+
+
+def minhash_dedup_pairs(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    num_bands: int = 16,
+    shingle_n: int = 5,
+    seed: int = 42,
+    num_partitions: int | None = 16,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+):
+    """Verified near-duplicate pairs via MinHash-LSH + exact Jaccard."""
+    bands = ds.select_columns([id_col, text_col]).map_batches(
+        _MinHashBands,
+        fn_constructor_args=(id_col, text_col, num_perm, num_bands, shingle_n, seed),
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=(1, 4),
+    )
+    cands = _band_candidates(bands, num_buckets, num_partitions)
+    withtext = _attach_texts(cands, ds, id_col, text_col, num_partitions or 16)
+    return withtext.map_batches(
+        _JaccardVerify,
+        fn_constructor_args=(threshold, shingle_n),
+        batch_format="pandas",
+        batch_size=2048,
+        concurrency=(1, 4),
+    )
+
+
+def minhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text", **kw):
+    """Survivor ids after MinHash near-dup clustering (min id per cluster)."""
+    num_partitions = kw.get("num_partitions", 16) or 16
+    pairs = minhash_dedup_pairs(ds, id_col, text_col, **kw)
+    ids = ds.select_columns([id_col])
+    if id_col != "doc_id":
+        ids = ids.map_batches(lambda t: t.rename_columns(["doc_id"]), batch_format="pyarrow")
+        pairs = pairs.map_batches(
+            lambda t: pa.table(
+                {
+                    "left_id": t.column("left_id").cast(pa.string()),
+                    "right_id": t.column("right_id").cast(pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    return _survivors_from_pairs(pairs, ids, num_partitions)
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup
+# --------------------------------------------------------------------------
+
+
+def simhash_dedup_pairs(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    num_chunks: int = 4,
+    num_partitions: int | None = 16,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+):
+    """SimHash near-dup: 64-bit simhash over word tokens; candidates share
+    at least one of ``num_chunks`` 16-bit chunks (pigeonhole guarantees any
+    pair within hamming distance < num_chunks collides); verified by exact
+    hamming distance."""
+
+    def add_sim(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        texts = t.column(text_col).to_pylist()
+        sims = [simhash64(token_hashes((s or "").lower().split())) for s in texts]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=t.schema.field(id_col).type),
+                "simhash": pa.array(sims, pa.uint64()),
+            }
+        )
+
+    sims = ds.select_columns([id_col, text_col]).map_batches(add_sim, batch_format="pyarrow")
+
+    bits = 64 // num_chunks
+
+    def to_chunks(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        sh = t.column("simhash").to_pylist()
+        out_ids, out_key, out_sim = [], [], []
+        for i, s in zip(ids, sh):
+            for c in range(num_chunks):
+                chunk = (s >> (c * bits)) & ((1 << bits) - 1)
+                out_ids.append(i)
+                out_key.append((c << bits) | chunk)
+                out_sim.append(s)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, type=t.schema.field("doc_id").type),
+                "band": pa.array(out_key, pa.uint64()),
+                "simhash": pa.array(out_sim, pa.uint64()),
+            }
+        )
+
+    chunked = sims.map_batches(to_chunks, batch_format="pyarrow")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        with np.errstate(over="ignore"):
+            h = t.column("band").combine_chunks().to_numpy(zero_copy_only=False) * np.uint64(
+                0x9E3779B97F4A7C15
+            )
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int32), pa.int32())
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        left, right = [], []
+        for _, g in df.groupby("band", sort=False):
+            g = g.drop_duplicates("doc_id").sort_values("doc_id")
+            ids = g["doc_id"].to_numpy()
+            hs = g["simhash"].to_numpy()
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    if hamming64(int(hs[i]), int(hs[j])) <= max_hamming:
+                        left.append(ids[i])
+                        right.append(ids[j])
+        return pd.DataFrame({"left_id": left, "right_id": right}).drop_duplicates()
+
+    return (
+        chunked.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket", num_partitions=num_partitions)
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup
+# --------------------------------------------------------------------------
+
+
+def embedding_dedup_pairs(
+    ds,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_planes: int = 12,
+    seed: int = 42,
+    num_partitions: int | None = 16,
+    probes: int = 2,
+):
+    """Embedding near-dup: random-hyperplane LSH buckets (sign signature;
+    ``probes`` extra signatures with one bit flipped widen recall), then
+    exact cosine verification within buckets.
+
+    The hyperplane matrix is a pure function of (seed, dim): regenerated
+    identically inside every task, never shipped.
+    """
+
+    def add_sig(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        vecs = np.array(t.column(vec_col).to_pylist(), dtype=np.float32)
+        if vecs.ndim == 1:  # empty batch guard
+            return pa.table({"doc_id": pa.array([], pa.int64()), "sig": pa.array([], pa.uint64()), "vec": pa.array([], pa.list_(pa.float32()))})
+        dim = vecs.shape[1]
+        planes = np.random.RandomState(seed).randn(dim, num_planes).astype(np.float32)
+        proj = vecs @ planes
+        bits = (proj > 0).astype(np.uint64)
+        sig = np.zeros(len(ids), dtype=np.uint64)
+        for b in range(num_planes):
+            sig |= bits[:, b] << np.uint64(b)
+        out_ids, out_sig, out_vec = [], [], []
+        for i, did in enumerate(ids):
+            sigs = [int(sig[i])]
+            # multi-probe: flip the lowest-|margin| bits
+            margins = np.abs(proj[i])
+            for b in np.argsort(margins)[:probes]:
+                sigs.append(int(sig[i]) ^ (1 << int(b)))
+            for s in sigs:
+                out_ids.append(did)
+                out_sig.append(s)
+                out_vec.append(vecs[i])
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, type=t.schema.field(id_col).type),
+                "sig": pa.array(out_sig, pa.uint64()),
+                "vec": pa.array([v.tolist() for v in out_vec], pa.list_(pa.float32())),
+            }
+        )
+
+    sigs = ds.select_columns([id_col, vec_col]).map_batches(add_sig, batch_format="pyarrow")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        left, right, cos = [], [], []
+        for _, g in df.groupby("sig", sort=False):
+            g = g.drop_duplicates("doc_id").sort_values("doc_id")
+            ids = g["doc_id"].to_numpy()
+            if len(ids) < 2:
+                continue
+            V = np.stack(g["vec"].to_numpy())
+            norms = np.linalg.norm(V, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            Vn = V / norms
+            C = Vn @ Vn.T
+            ii, jj = np.where(np.triu(C, 1) >= threshold)
+            for i, j in zip(ii, jj):
+                left.append(ids[i])
+                right.append(ids[j])
+                cos.append(float(C[i, j]))
+        out = pd.DataFrame(
+            {
+                "left_id": pd.Series(left, dtype="int64"),
+                "right_id": pd.Series(right, dtype="int64"),
+                "cosine": pd.Series(cos, dtype="float64"),
+            }
+        )
+        return out.drop_duplicates(["left_id", "right_id"])
+
+    return sigs.groupby("sig", num_partitions=num_partitions).map_groups(
+        per_bucket, batch_format="pandas"
+    )

@@ -121,6 +121,18 @@ def default_idf_value(n_docs: int) -> float:
     return math.log((1.0 + n_docs) / 2.0) + 1.0
 
 
+# Edit-distance kernels are O(len^2); cap the strings they see. True
+# duplicates overwhelmingly agree in their first characters after
+# normalization, and token/tfidf features cover the long tail.
+EDIT_KERNEL_CAP = 64
+
+# If BOTH set-overlap features fall below this, the pair cannot clear any
+# sane match threshold (the fitted weights put >10 logits on name
+# similarity); skip the expensive edit-distance kernels and reuse the
+# n-gram Jaccard as their stand-in. Never fires on true duplicates.
+CHEAP_REJECT = 0.15
+
+
 def compute_pair_features(left: dict, right: dict, idf: dict[str, float], default_idf: float) -> list[float]:
     """One candidate pair -> feature vector (FEATURE_NAMES order)."""
     ln, rn = left["norm_name"] or "", right["norm_name"] or ""
@@ -128,11 +140,19 @@ def compute_pair_features(left: dict, right: dict, idf: dict[str, float], defaul
     la, ra = (left["authors"] or "").lower().split(", "), (right["authors"] or "").lower().split(", ")
     sl, sr = set(lt), set(rt)
     contain = (len(sl & sr) / min(len(sl), len(sr))) if sl and sr else (1.0 if sl == sr else 0.0)
+    name_jac = S.token_jaccard(lt, rt)
+    name_ng = S.ngram_jaccard(ln, rn, 3)
+    if name_jac < CHEAP_REJECT and name_ng < CHEAP_REJECT:
+        jw = lev = name_ng
+    else:
+        lc, rc = ln[:EDIT_KERNEL_CAP], rn[:EDIT_KERNEL_CAP]
+        jw = S.jaro_winkler(lc, rc)
+        lev = S.levenshtein_ratio(lc, rc)
     return [
-        S.jaro_winkler(ln, rn),
-        S.levenshtein_ratio(ln, rn),
-        S.token_jaccard(lt, rt),
-        S.ngram_jaccard(ln, rn, 3),
+        jw,
+        lev,
+        name_jac,
+        name_ng,
         contain,
         S.tfidf_cosine(lt, rt, idf, default_idf),
         S.exact_or_missing(left["norm_brand"], right["norm_brand"]),

@@ -1,0 +1,90 @@
+"""Text-analysis stages over a documents table: language-ID, quality
+scoring, token counting, fingerprinting (kernels in functions/text.py).
+
+One stateless vectorized ``map_batches`` each; ``annotate_documents``
+fuses them into a single pass (one read, one scan — the hot path never
+re-reads the text column)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions.text import (
+    count_tokens_bpeish,
+    count_tokens_ws,
+    detect_language,
+    document_fingerprint,
+    quality_features,
+)
+
+QUALITY_KEYS = [
+    "q_len",
+    "q_mean_word_len",
+    "q_punct_ratio",
+    "q_stop_ratio",
+    "q_alpha_ratio",
+    "quality_score",
+]
+
+
+def annotate_documents(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Single-pass annotation: lang_pred, token counts, quality features,
+    fingerprint."""
+
+    def annotate(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        langs = [detect_language(s) for s in texts]
+        ws = [count_tokens_ws(s) for s in texts]
+        bp = [count_tokens_bpeish(s) for s in texts]
+        fps = [document_fingerprint(s) for s in texts]
+        quals = [quality_features(s) for s in texts]
+        out = t.append_column("lang_pred", pa.array(langs, pa.string()))
+        out = out.append_column("n_tokens_ws", pa.array(ws, pa.int64()))
+        out = out.append_column("n_tokens_bpe", pa.array(bp, pa.int64()))
+        out = out.append_column("fingerprint", pa.array(fps, pa.uint64()))
+        for k in QUALITY_KEYS:
+            out = out.append_column(k, pa.array([q[k] for q in quals], pa.float64()))
+        return out
+
+    return ds.map_batches(annotate, batch_format="pyarrow")
+
+
+def token_counts(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """(id, n_tokens_ws, n_tokens_bpe) — whitespace + BPE-ish counts."""
+
+    def count(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "n_tokens_ws": pa.array([count_tokens_ws(s) for s in texts], pa.int64()),
+                "n_tokens_bpe": pa.array([count_tokens_bpeish(s) for s in texts], pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(count, batch_format="pyarrow")
+
+
+def language_histogram(ds, text_col: str = "text", num_partitions: int | None = None):
+    """Detected-language distribution: per-batch partial counts -> tiny
+    groupby sum (no full-row shuffle)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for s in t.column(text_col).to_pylist():
+            lang = detect_language(s)
+            counts[lang] = counts.get(lang, 0) + 1
+        return pa.table(
+            {
+                "lang_pred": pa.array(list(counts.keys()), pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns([text_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang_pred", num_partitions=num_partitions)
+        .aggregate(Sum("n", alias_name="n"))
+    )
