@@ -1,0 +1,173 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "linkage_synth_sec", "value": <sec>, "unit": "sec",
+     "queries": {...per-query seconds...}, "sf": <sf>, "num_cpus": N,
+     "pairs_scored": P, "pairs_per_sec": R}
+
+``--scaling`` runs the headline pipeline twice in fresh processes
+(num_cpus=8 and num_cpus=32) on the same input and reports both
+throughputs plus scaling efficiency (the sandbox stand-in for the
+north rule's N vs 4N cluster-size criterion).
+
+This script OWNS its Ray session (init + shutdown); the library never
+calls ray.init.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _n_entities(sf: float) -> int:
+    # ~2.7 docs per entity; sf0.1 -> 20k entities (~54k docs)
+    return max(200, int(200_000 * sf))
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+    import ray.data as rd
+    from ray.data import DataContext
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from entity_matching_datasets_ray.pipelines import relational as R
+    from entity_matching_datasets_ray.pipelines.flagship import docs_from_documents_table
+    from entity_matching_datasets_ray.pipelines.linkage import LinkageConfig, run_linkage
+    from entity_matching_datasets_ray.stages.dedup import minhash_dedup_pairs
+    from entity_matching_datasets_ray.stages.text_analysis import annotate_documents
+    from entity_matching_datasets_ray.synth import synth_docs_dataset
+
+    sf = _sf_of(sf_dir)
+    queries: dict[str, float] = {}
+
+    # warm the OS page cache so we measure compute + shuffle, not cold reads
+    rd.read_parquet(f"{sf_dir}/lineitem.parquet").count()
+    rd.read_parquet(f"{sf_dir}/documents.parquet").count()
+
+    # --- headline: flagship linkage over the seeded synthetic corpus ----
+    n_ent = _n_entities(sf)
+    t0 = time.time()
+    docs = synth_docs_dataset(n_ent, parallelism=num_cpus * 2)
+    cfg = LinkageConfig(
+        num_partitions=num_cpus,
+        scorer_concurrency=(1, max(2, num_cpus // 2)),
+    )
+    clusters, entities, scored = run_linkage(docs, cfg, return_intermediates=True)
+    n_clusters = clusters.count()
+    pairs_scored = scored.count()
+    linkage_sec = time.time() - t0
+    queries["linkage_synth"] = round(linkage_sec, 2)
+
+    # --- flagship over the driver documents table ----------------------
+    t0 = time.time()
+    dclusters = run_linkage(
+        docs_from_documents_table(sf_dir),
+        LinkageConfig(num_partitions=num_cpus, scorer_concurrency=(1, max(2, num_cpus // 2))),
+    )
+    dclusters.count()
+    queries["linkage_documents"] = round(time.time() - t0, 2)
+
+    # --- relational core ------------------------------------------------
+    t0 = time.time()
+    R.q_pricing_summary(sf_dir).to_pandas()
+    queries["pricing_summary"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    R.q_events_hourly(sf_dir).to_pandas()
+    queries["events_hourly"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    R.q_revenue_by_nation(sf_dir).to_pandas()
+    queries["revenue_by_nation"] = round(time.time() - t0, 2)
+
+    # --- training-data ops ----------------------------------------------
+    t0 = time.time()
+    ddocs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    minhash_dedup_pairs(ddocs, num_partitions=num_cpus).count()
+    queries["minhash_dedup"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    annotate_documents(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ).count()
+    queries["annotate_documents"] = round(time.time() - t0, 2)
+
+    result = {
+        "metric": "linkage_synth_sec",
+        "value": round(linkage_sec, 2),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "n_entities": n_ent,
+        "n_clusters": n_clusters,
+        "pairs_scored": pairs_scored,
+        "pairs_per_sec": round(pairs_scored / linkage_sec, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling(sf_dir: str) -> dict:
+    """Same headline job, fresh processes, 8 vs 32 CPUs."""
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = one(lo)
+    r_hi = one(hi)
+    tp_lo = r_lo["pairs_per_sec"]
+    tp_hi = r_hi["pairs_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": r_lo["value"],
+        "sec_hi": r_hi["value"],
+        "pairs_per_sec_lo": tp_lo,
+        "pairs_per_sec_hi": tp_hi,
+        "sf": r_lo["sf"],
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+    else:
+        num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        print(json.dumps(run_bench(sf_dir, num_cpus)))

@@ -67,29 +67,29 @@ FEATURE_NAMES = [
 ]
 
 # Calibrated on the deterministic synthetic corpus: fit_logistic over the
-# blocking-produced candidate features of a 2000-entity seed-42 corpus
-# (see tests/test_pipeline_e2e.py); intercept last.
+# blocking-produced candidate features of a 20000-entity seed-42 corpus
+# (IRLS, class-balanced; see tests/test_pipeline_e2e.py); intercept last.
 DEFAULT_WEIGHTS = {
-    "name_jw": 1.183,
-    "name_lev": 1.908,
-    "name_jac": 1.885,
-    "name_ng_jac": 1.841,
-    "name_contain": 1.457,
-    "name_tfidf": 2.558,
-    "brand_eq": 0.945,
-    "model_eq": 1.811,
-    "price_close": 1.594,
-    "phone_eq": 3.028,
-    "addr_jw": 0.780,
-    "city_eq": 0.975,
-    "venue_eq": 0.770,
-    "year_eq": 1.796,
-    "authors_jac": 2.133,
+    "name_jw": 1.179,
+    "name_lev": 1.765,
+    "name_jac": 1.734,
+    "name_ng_jac": 1.654,
+    "name_contain": 1.280,
+    "name_tfidf": 2.899,
+    "brand_eq": 1.018,
+    "model_eq": 1.628,
+    "price_close": 1.643,
+    "phone_eq": 3.373,
+    "addr_jw": 0.739,
+    "city_eq": 1.135,
+    "venue_eq": 0.782,
+    "year_eq": 1.814,
+    "authors_jac": 2.150,
     "artist_jw": 0.685,
-    "album_jw": 0.694,
-    "date_eq": 1.478,
-    "time_eq": 1.467,
-    "_intercept": -17.011,
+    "album_jw": 0.690,
+    "date_eq": 1.282,
+    "time_eq": 1.275,
+    "_intercept": -16.798,
 }
 
 
@@ -129,32 +129,103 @@ EDIT_KERNEL_CAP = 64
 # If BOTH set-overlap features fall below this, the pair cannot clear any
 # sane match threshold (the fitted weights put >10 logits on name
 # similarity); skip the expensive edit-distance kernels and reuse the
-# n-gram Jaccard as their stand-in. Never fires on true duplicates.
-CHEAP_REJECT = 0.15
+# n-gram Jaccard as their stand-in (a conservative under-estimate, so
+# borderline negatives score lower, never higher). True duplicates sit far
+# above this band (tests assert F1 >= 0.99 with the fast path active).
+CHEAP_REJECT = 0.30
 
 
-def compute_pair_features(left: dict, right: dict, idf: dict[str, float], default_idf: float) -> list[float]:
-    """One candidate pair -> feature vector (FEATURE_NAMES order)."""
-    ln, rn = left["norm_name"] or "", right["norm_name"] or ""
-    lt, rt = ln.split(" ") if ln else [], rn.split(" ") if rn else []
-    la, ra = (left["authors"] or "").lower().split(", "), (right["authors"] or "").lower().split(", ")
-    sl, sr = set(lt), set(rt)
-    contain = (len(sl & sr) / min(len(sl), len(sr))) if sl and sr else (1.0 if sl == sr else 0.0)
-    name_jac = S.token_jaccard(lt, rt)
-    name_ng = S.ngram_jaccard(ln, rn, 3)
-    if name_jac < CHEAP_REJECT and name_ng < CHEAP_REJECT:
-        jw = lev = name_ng
+class _Side:
+    """Precomputed per-document name features. Cached per unique
+    ``norm_name`` inside each scorer actor: a document participates in many
+    candidate pairs, so tokenization / shingling / TF-IDF vectorization are
+    amortized across all of them."""
+
+    __slots__ = ("name", "capped", "tok_set", "shingles", "vec", "norm")
+
+    def __init__(self, name: str, idf: dict[str, float], default_idf: float):
+        self.name = name
+        self.capped = name[:EDIT_KERNEL_CAP]
+        tokens = name.split(" ") if name else []
+        self.tok_set = set(tokens)
+        self.shingles = S.ngram_shingles(name, 3)
+        tf: dict[str, int] = {}
+        for t in tokens:
+            tf[t] = tf.get(t, 0) + 1
+        self.vec = {t: c * idf.get(t, default_idf) for t, c in tf.items()}
+        self.norm = math.sqrt(sum(w * w for w in self.vec.values()))
+
+
+def _name_features(l: _Side, r: _Side, edit_memo: dict | None = None) -> tuple[float, float, float, float, float, float]:
+    """(jw, lev, jac, ng_jac, contain, tfidf) between two cached sides.
+    Must stay numerically identical to the uncached formulas in
+    functions/similarity.py (the calibrated weights depend on it)."""
+    sl, sr = l.tok_set, r.tok_set
+    if not sl and not sr:
+        jac = 1.0
+        contain = 1.0
+    elif not sl or not sr:
+        jac = 0.0
+        contain = 0.0
     else:
-        lc, rc = ln[:EDIT_KERNEL_CAP], rn[:EDIT_KERNEL_CAP]
-        jw = S.jaro_winkler(lc, rc)
-        lev = S.levenshtein_ratio(lc, rc)
+        inter = len(sl & sr)
+        jac = inter / (len(sl) + len(sr) - inter)
+        contain = inter / min(len(sl), len(sr))
+    ssl, ssr = l.shingles, r.shingles
+    if not ssl and not ssr:
+        ng = 1.0
+    elif not ssl or not ssr:
+        ng = 0.0
+    else:
+        ninter = len(ssl & ssr)
+        ng = ninter / (len(ssl) + len(ssr) - ninter)
+    if l.norm == 0.0 or r.norm == 0.0:
+        tfidf = 1.0 if (not sl and not sr) else 0.0
+    else:
+        a, b = (l.vec, r.vec) if len(l.vec) <= len(r.vec) else (r.vec, l.vec)
+        dot = sum(w * b[t] for t, w in a.items() if t in b)
+        tfidf = dot / (l.norm * r.norm)
+    if jac < CHEAP_REJECT and ng < CHEAP_REJECT:
+        jw = lev = ng
+    elif edit_memo is not None:
+        key = (l.capped, r.capped)
+        hit = edit_memo.get(key)
+        if hit is None:
+            hit = (
+                S.jaro_winkler(l.capped, r.capped),
+                S.levenshtein_ratio(l.capped, r.capped),
+            )
+            if len(edit_memo) >= 500_000:
+                edit_memo.clear()
+            edit_memo[key] = hit
+        jw, lev = hit
+    else:
+        jw = S.jaro_winkler(l.capped, r.capped)
+        lev = S.levenshtein_ratio(l.capped, r.capped)
+    return jw, lev, jac, ng, contain, tfidf
+
+
+_AUX_COLUMNS = [
+    "norm_brand",
+    "modelno",
+    "price_num",
+    "phone_norm",
+    "addr",
+    "city",
+    "venue",
+    "year",
+    "authors",
+    "artist",
+    "album",
+    "date_iso",
+    "time",
+]
+
+
+def _aux_features(left: dict, right: dict) -> list[float]:
+    """FEATURE_NAMES[6:]: typed-agreement features on the non-name fields."""
+    la, ra = (left["authors"] or "").lower().split(", "), (right["authors"] or "").lower().split(", ")
     return [
-        jw,
-        lev,
-        name_jac,
-        name_ng,
-        contain,
-        S.tfidf_cosine(lt, rt, idf, default_idf),
         S.exact_or_missing(left["norm_brand"], right["norm_brand"]),
         S.exact_or_missing(left["modelno"], right["modelno"]),
         S.numeric_closeness(left["price_num"], right["price_num"]),
@@ -175,6 +246,15 @@ def compute_pair_features(left: dict, right: dict, idf: dict[str, float], defaul
         S.exact_or_missing(left["date_iso"], right["date_iso"]),
         S.exact_or_missing(left["time"], right["time"]),
     ]
+
+
+def compute_pair_features(left: dict, right: dict, idf: dict[str, float], default_idf: float) -> list[float]:
+    """One candidate pair -> feature vector (FEATURE_NAMES order)."""
+    ln, rn = left["norm_name"] or "", right["norm_name"] or ""
+    jw, lev, name_jac, name_ng, contain, tfidf = _name_features(
+        _Side(ln, idf, default_idf), _Side(rn, idf, default_idf)
+    )
+    return [jw, lev, name_jac, name_ng, contain, tfidf] + _aux_features(left, right)
 
 
 class PairScorer:
@@ -198,16 +278,35 @@ class PairScorer:
             w.update(weights)
         self.w = np.array([w[f] for f in FEATURE_NAMES])
         self.b = w["_intercept"]
+        self._sides: dict[str, _Side] = {}  # per-actor memo (bounded below)
+        self._edit_memo: dict = {}  # (capped_l, capped_r) -> (jw, lev)
+
+    _SIDE_CACHE_MAX = 250_000
+
+    def _side(self, name) -> _Side:
+        key = name or ""
+        s = self._sides.get(key)
+        if s is None:
+            if len(self._sides) >= self._SIDE_CACHE_MAX:
+                self._sides.clear()
+            s = _Side(key, self.idf, self.default_idf)
+            self._sides[key] = s
+        return s
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         n = len(batch)
         feats = np.empty((n, len(FEATURE_NAMES)))
         lcols = {f: batch[f"l_{f}"].tolist() for f in FEATURE_COLUMNS if f != "doc_id"}
         rcols = {f: batch[f"r_{f}"].tolist() for f in FEATURE_COLUMNS if f != "doc_id"}
+        side = self._side
         for i in range(n):
-            left = {f: _none_if_na(lcols[f][i]) for f in lcols}
-            right = {f: _none_if_na(rcols[f][i]) for f in rcols}
-            feats[i] = compute_pair_features(left, right, self.idf, self.default_idf)
+            ls = side(_none_if_na(lcols["norm_name"][i]))
+            rs = side(_none_if_na(rcols["norm_name"][i]))
+            jw, lev, jac, ng, contain, tfidf = _name_features(ls, rs, self._edit_memo)
+            left = {f: _none_if_na(lcols[f][i]) for f in _AUX_COLUMNS}
+            right = {f: _none_if_na(rcols[f][i]) for f in _AUX_COLUMNS}
+            feats[i, 0:6] = (jw, lev, jac, ng, contain, tfidf)
+            feats[i, 6:] = _aux_features(left, right)
         z = feats @ self.w + self.b
         score = 1.0 / (1.0 + np.exp(-z))
         out = pd.DataFrame({"left_id": batch["left_id"], "right_id": batch["right_id"]})
