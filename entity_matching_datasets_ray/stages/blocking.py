@@ -24,11 +24,13 @@ blocks. This keeps the number of Ray-level groups (and their per-group
 dispatch overhead) bounded regardless of how many distinct block keys
 exist; ``num_buckets`` scales with cluster size, not key cardinality.
 
-Skew handling: any block larger than ``max_block_size`` is truncated to a
-deterministic prefix (sorted by doc_id) — bounded O(k*cap) pair emission
-instead of O(k^2) on hot keys (e.g. near-empty names at 100 TB). Truncated
-rows are counted in the ``overflow`` column of the emitted pair stream so
-callers can meter dropped coverage (never silent).
+Skew handling: hot blocks (non-discriminative keys — near-stopword bands,
+boilerplate names at 100 TB) never emit O(k^2): above ``max_pairs_per_
+block`` a block switches to a bounded star + sliding-window pattern
+(``_emit_capped``) that keeps every member connected for the downstream
+components while emitting O(k) pairs. Pairs not emitted are counted in the
+``overflow`` column of the pair stream so dropped coverage is metered,
+never silent. SNM windows are intrinsically O(k*window).
 """
 
 from __future__ import annotations
@@ -115,6 +117,31 @@ def _emit_window(ids, window: int, left: list, right: list):
             else:
                 left.append(b)
                 right.append(a)
+
+
+def _emit_capped(ids, max_pairs: int, left: list, right: list) -> int:
+    """All pairs when the block is small; for hot blocks, a bounded
+    star + sliding-window pattern over the sorted ids.
+
+    A block whose membership is huge is weakly discriminative (the key is
+    near-stopword), so full O(k^2) emission buys little recall at enormous
+    cost. The star (everyone ↔ min id) plus a window keeps every member
+    reachable for connected components while bounding emission to O(k +
+    window*k). Returns the number of pairs *not* emitted (overflow metric).
+    """
+    n = len(ids)
+    total = n * (n - 1) // 2
+    if total <= max_pairs:
+        _emit_all(ids, left, right)
+        return 0
+    window = max(1, max_pairs // (2 * n))
+    hub = ids[0]  # ids are sorted ascending
+    for i in range(1, n):
+        left.append(hub)
+        right.append(ids[i])
+    _emit_window(ids, window, left, right)
+    emitted = (n - 1) + min(total, window * n)
+    return max(0, total - emitted)
 
 
 # --------------------------------------------------------------------------
@@ -223,7 +250,7 @@ def lsh_pairs(
     num_perm: int = 32,
     num_bands: int = 8,
     seed: int = 42,
-    max_block_size: int = 2000,
+    max_pairs_per_block: int = 20000,
     num_buckets: int = DEFAULT_NUM_BUCKETS,
     num_partitions: int | None = None,
     concurrency: int | tuple | None = None,
@@ -253,10 +280,7 @@ def lsh_pairs(
         overflow = 0
         for _, g in df.groupby("band", sort=False):
             ids = np.sort(g["doc_id"].to_numpy())
-            if len(ids) > max_block_size:
-                overflow += len(ids) - max_block_size
-                ids = ids[:max_block_size]
-            _emit_all(ids, left, right)
+            overflow += _emit_capped(ids, max_pairs_per_block, left, right)
         return _pairs_frame(left, right, "lsh", overflow)
 
     return bands.groupby("bucket", num_partitions=num_partitions).map_groups(
@@ -273,7 +297,7 @@ def exact_key_pairs(
     entities,
     key_columns: list[str],
     src: str,
-    max_block_size: int = 1000,
+    max_pairs_per_block: int = 20000,
     num_buckets: int = DEFAULT_NUM_BUCKETS,
     num_partitions: int | None = None,
 ):
@@ -308,10 +332,7 @@ def exact_key_pairs(
         overflow = 0
         for _, g in df.groupby("block_key", sort=False):
             ids = np.sort(g["doc_id"].to_numpy())
-            if len(ids) > max_block_size:
-                overflow += len(ids) - max_block_size
-                ids = ids[:max_block_size]
-            _emit_all(ids, left, right)
+            overflow += _emit_capped(ids, max_pairs_per_block, left, right)
         return _pairs_frame(left, right, src, overflow)
 
     return keyed.groupby("bucket", num_partitions=num_partitions).map_groups(

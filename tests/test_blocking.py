@@ -62,7 +62,9 @@ def test_dedup_pairs_removes_cross_pass_duplicates(entities):
 
 
 def test_block_capping():
-    # 60 docs with identical name -> uncapped would be 1770 pairs
+    # 60 docs with identical name -> uncapped would be C(60,2)=1770 pairs;
+    # with max_pairs_per_block=100 the hot block must emit a bounded
+    # star+window pattern that still connects every doc.
     import pyarrow as pa
 
     t = pa.table(
@@ -77,9 +79,21 @@ def test_block_capping():
         }
     )
     ents = rd.from_arrow(t)
-    capped = B.lsh_pairs(ents, max_block_size=10, num_partitions=2).to_pandas()
-    # only the 10 smallest doc_ids should pair: C(10,2)=45 per band bucket,
-    # deduped across bands later; raw stream may repeat per band
+    capped = B.lsh_pairs(ents, max_pairs_per_block=100, num_partitions=2).to_pandas()
     uniq = capped.drop_duplicates(["left_id", "right_id"])
-    assert len(uniq) == 45
+    assert len(uniq) < 400  # far fewer than 1770
     assert (capped.overflow > 0).any()
+    # every doc is still reachable from the hub (star pattern)
+    import networkx as nx
+
+    g = nx.Graph()
+    g.add_edges_from(zip(uniq.left_id, uniq.right_id))
+    assert nx.number_connected_components(g) == 1
+    assert g.number_of_nodes() == 60
+
+
+def test_emit_capped_small_block_is_exact():
+    left, right = [], []
+    overflow = B._emit_capped([f"d{i}" for i in range(10)], 100, left, right)
+    assert overflow == 0
+    assert len(left) == 45
