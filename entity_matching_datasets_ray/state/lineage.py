@@ -1,0 +1,181 @@
+"""Per-partition lineage checkpointing: resumable stage outputs.
+
+Generalizes the only resumability pattern in the reference — the
+content-addressed LLM response cache (wdc.zip -> wdc/computers/
+prompt.py:13-20,169-178: rerun = cache hits) — to whole pipeline stages
+(north rule: "checkpoint per-partition lineage and counters to resume
+mid-run", BASELINE.json:14).
+
+Layout on disk (one directory per checkpointed stage):
+
+    <root>/<stage>/
+        part=<k>/...parquet        partition data (atomic: tmp dir + rename)
+        _manifest/<k>.json         lineage entry, written AFTER the data
+
+A partition's manifest entry records (stage, partition id, input
+fingerprint, row count, wall time). ``run_stage`` skips any partition
+whose manifest entry exists AND matches the current input fingerprint —
+a restarted job redoes only unfinished/ invalidated partitions. The input
+fingerprint is an order-independent XOR over row-content hashes, so it is
+stable under repartitioning and execution order.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def partition_fingerprint(table: pa.Table, columns: list[str] | None = None) -> str:
+    """Order-independent content fingerprint of a table (XOR of per-row
+    hashes over the given columns)."""
+    cols = columns or table.column_names
+    acc = 0
+    arrays = [table.column(c).to_pylist() for c in cols]
+    for row in zip(*arrays):
+        h = hashlib.blake2b(repr(row).encode(), digest_size=8).digest()
+        acc ^= int.from_bytes(h, "big")
+    return f"{acc:016x}"
+
+
+class StageCheckpoint:
+    """Checkpointed execution of a partitioned stage."""
+
+    def __init__(self, root: str, stage: str):
+        self.root = root
+        self.stage = stage
+        self.stage_dir = os.path.join(root, stage)
+        self.manifest_dir = os.path.join(self.stage_dir, "_manifest")
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    # -- manifest ----------------------------------------------------------
+
+    def _entry_path(self, part: int) -> str:
+        return os.path.join(self.manifest_dir, f"{part}.json")
+
+    def completed(self, part: int, input_fingerprint: str) -> bool:
+        p = self._entry_path(part)
+        if not os.path.exists(p):
+            return False
+        try:
+            with open(p) as f:
+                entry = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            return False
+        return entry.get("input_fingerprint") == input_fingerprint and os.path.isdir(
+            self._part_dir(part)
+        )
+
+    def manifest(self) -> list[dict]:
+        out = []
+        for name in sorted(os.listdir(self.manifest_dir)):
+            if name.endswith(".json"):
+                with open(os.path.join(self.manifest_dir, name)) as f:
+                    out.append(json.load(f))
+        return out
+
+    # -- data --------------------------------------------------------------
+
+    def _part_dir(self, part: int) -> str:
+        return os.path.join(self.stage_dir, f"part={part}")
+
+    def write_partition(
+        self, part: int, table: pa.Table, input_fingerprint: str, counters: dict | None = None
+    ) -> None:
+        """Atomic: write to tmp dir, rename, then write the manifest entry
+        (the entry is the commit point — a crash between rename and entry
+        just redoes the partition)."""
+        final = self._part_dir(part)
+        tmp = final + ".tmp"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(table, os.path.join(tmp, "data.parquet"))
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+        entry = {
+            "stage": self.stage,
+            "partition": part,
+            "input_fingerprint": input_fingerprint,
+            "rows": table.num_rows,
+            "wall_time": time.time(),
+            "counters": counters or {},
+        }
+        ep = self._entry_path(part)
+        with open(ep + ".tmp", "w") as f:
+            json.dump(entry, f)
+        os.replace(ep + ".tmp", ep)
+
+    def read_partition(self, part: int) -> pa.Table:
+        return pq.read_table(os.path.join(self._part_dir(part), "data.parquet"))
+
+    def output_paths(self) -> list[str]:
+        return [
+            os.path.join(self.stage_dir, d, "data.parquet")
+            for d in sorted(os.listdir(self.stage_dir))
+            if d.startswith("part=") and not d.endswith(".tmp")
+        ]
+
+
+def run_stage(
+    ds,
+    root: str,
+    stage: str,
+    fn,
+    num_partitions: int = 16,
+    key_columns: list[str] | None = None,
+):
+    """Execute ``fn(partition_table) -> table`` over hash partitions of
+    ``ds`` with per-partition checkpointing; returns a Dataset over the
+    stage's (existing + newly written) partition files.
+
+    Partitioning is deterministic (hash of the first key column), so a
+    resumed run sees identical partition contents and can trust the
+    fingerprints. Completed partitions are never recomputed (their tasks
+    short-circuit on the manifest check inside the worker).
+    """
+    import ray.data as rd
+
+    ckpt = StageCheckpoint(root, stage)
+    keys = key_columns or [ds.schema().names[0]]
+
+    def add_part(t: pa.Table) -> pa.Table:
+        vals = t.column(keys[0]).to_pylist()
+        parts = [
+            int.from_bytes(hashlib.blake2b(str(v).encode(), digest_size=4).digest(), "big")
+            % num_partitions
+            for v in vals
+        ]
+        return t.append_column("__part", pa.array(parts, pa.int32()))
+
+    def process(df) -> pa.Table:
+        # df: pandas within one partition group
+        part = int(df["__part"].iloc[0])
+        table = pa.Table.from_pandas(df.drop(columns="__part"), preserve_index=False)
+        fp = partition_fingerprint(table)
+        if ckpt.completed(part, fp):
+            return pa.table({"partition": pa.array([part], pa.int32()),
+                             "skipped": pa.array([True]),
+                             "rows": pa.array([ckpt.read_partition(part).num_rows], pa.int64())})
+        out = fn(table)
+        ckpt.write_partition(part, out, fp)
+        return pa.table({"partition": pa.array([part], pa.int32()),
+                         "skipped": pa.array([False]),
+                         "rows": pa.array([out.num_rows], pa.int64())})
+
+    report = (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part", num_partitions=num_partitions)
+        .map_groups(process, batch_format="pandas")
+    ).to_pandas()
+
+    paths = ckpt.output_paths()
+    out_ds = rd.read_parquet(paths) if paths else rd.from_arrow(pa.table({}))
+    return out_ds, report
