@@ -47,6 +47,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        log_to_driver=False,
     )
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False

@@ -68,11 +68,13 @@ def parse_ditto_lines(batch: pa.Table) -> pa.Table:
     )
 
 
-def read_ditto(path: str):
+def read_ditto(path: str, override_num_blocks: int | None = None):
     """Ditto text file(s) -> Dataset of raw pair rows."""
     import ray.data as rd
 
-    return rd.read_text(path).map_batches(parse_ditto_lines, batch_format="pyarrow")
+    return rd.read_text(path, override_num_blocks=override_num_blocks).map_batches(
+        parse_ditto_lines, batch_format="pyarrow"
+    )
 
 
 def infer_fields(pairs_ds) -> list[str]:
@@ -158,7 +160,6 @@ def read_eval_log(path: str):
     """Matcher evaluation TSV (gold, pred, result, probability, text_left,
     text_right — /root/reference/datamodel/*.tsv) -> Dataset."""
     import ray.data as rd
-    from ray.data.datasource import CSVDatasource  # noqa: F401  (import check)
     from pyarrow import csv as pacsv
 
     return rd.read_csv(

@@ -47,29 +47,21 @@ def _hash_text(s: str) -> str:
 
 
 def _survivors_from_pairs(pairs, all_ids, num_partitions: int = 16):
-    """duplicate pairs + full id set -> survivor ids (min id per cluster)."""
-    labels = connected_components(pairs, num_partitions=num_partitions)
-    # survivors = ids that are their own cluster root, plus ids not in any pair
+    """duplicate pairs + full id set -> survivor ids (min id per cluster).
+
+    Survivor = a doc that is its own cluster root: ids in no pair keep
+    themselves; paired ids survive iff they equal their component's min id.
+    """
     import pyarrow.compute as pc
 
-    roots = labels.map_batches(
+    from .clustering import attach_singletons
+
+    labels = connected_components(pairs, num_partitions=num_partitions)
+    clustered = attach_singletons(labels, all_ids, num_partitions=num_partitions)
+    return clustered.map_batches(
         lambda t: t.filter(pc.equal(t["doc_id"], t["entity_id"])).select(["doc_id"]),
         batch_format="pyarrow",
     )
-    members = labels.select_columns(["doc_id"])
-    non_dup = all_ids.join(
-        members.map_batches(
-            lambda t: t.append_column("in_pair", pa.array([1] * t.num_rows, pa.int8())),
-            batch_format="pyarrow",
-        ),
-        join_type="left_outer",
-        num_partitions=num_partitions,
-        on=("doc_id",),
-    ).map_batches(
-        lambda t: t.filter(pc.is_null(t["in_pair"])).select(["doc_id"]),
-        batch_format="pyarrow",
-    )
-    return roots.union(non_dup)
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,107 @@
+"""Dedup family tests: exact, fingerprint, MinHash, SimHash, embedding."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from entity_matching_datasets_ray.stages import dedup as D
+
+
+@pytest.fixture(scope="module")
+def text_ds():
+    texts = []
+    ids = []
+    rng = np.random.RandomState(11)
+    vocab = [f"word{k}" for k in range(500)]
+    for i in range(40):
+        # 30 distinct-ish words per doc: different docs share few words, so
+        # cross-doc Jaccard is low while near-dups stay high
+        words = [vocab[w] for w in rng.choice(500, 30, replace=False)]
+        base = " ".join(["doc", f"num{i}"] + words)
+        ids.append(i)
+        texts.append(base)
+        # near-dup of even docs: one word changed
+        if i % 2 == 0:
+            ids.append(1000 + i)
+            texts.append(base.replace(words[0], words[0] + "x"))
+        # exact dup of docs divisible by 5
+        if i % 5 == 0:
+            ids.append(2000 + i)
+            texts.append(base)
+    return rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts, pa.string())})
+    )
+
+
+def test_exact_dedup(text_ds):
+    survivors = set(D.exact_dedup(text_ds, num_partitions=4).to_pandas()["doc_id"])
+    # exact dup groups: {i, 2000+i} for i % 5 == 0 -> survivor i (min)
+    for i in range(0, 40, 5):
+        assert i in survivors
+        assert 2000 + i not in survivors
+    # near-dups are NOT exact dups: both survive
+    assert 1000 in survivors or 0 in survivors
+    assert 1000 in survivors
+
+
+def test_fingerprint_dedup_whitespace_case_insensitive():
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": ["Hello  World", "hello world", "different text"],
+            }
+        )
+    )
+    survivors = set(D.fingerprint_dedup(ds, num_partitions=2).to_pandas()["doc_id"])
+    assert survivors == {1, 3}
+
+
+def test_minhash_dedup_pairs_finds_neardups(text_ds):
+    pairs = D.minhash_dedup_pairs(text_ds, threshold=0.7, num_partitions=4).to_pandas()
+    found = set(zip(pairs.left_id, pairs.right_id))
+    # every near-dup pair (i, 1000+i) must be found
+    for i in range(0, 40, 2):
+        assert (i, 1000 + i) in found, f"missing near-dup pair {i}"
+    # all verified jaccards respect the threshold
+    assert (pairs.jaccard >= 0.7).all()
+
+
+def test_minhash_survivors(text_ds):
+    survivors = set(D.minhash_dedup(text_ds, threshold=0.7, num_partitions=4).to_pandas()["doc_id"])
+    for i in range(0, 40, 2):
+        assert str(i) in survivors or i in survivors
+        assert 1000 + i not in survivors and str(1000 + i) not in survivors
+
+
+def test_simhash_pairs(text_ds):
+    pairs = D.simhash_dedup_pairs(text_ds, max_hamming=8, num_partitions=4).to_pandas()
+    found = set(zip(pairs.left_id, pairs.right_id))
+    # exact dups have hamming 0 -> always found (pigeonhole guarantee)
+    for i in range(0, 40, 5):
+        assert (i, 2000 + i) in found
+    # one-word-in-32 near-dups land within a small hamming radius often;
+    # the chunk banding beyond hamming < num_chunks is probabilistic
+    near = sum((i, 1000 + i) in found for i in range(0, 40, 2))
+    assert near >= 10
+
+
+def test_embedding_dedup_pairs():
+    rng = np.random.RandomState(0)
+    base = rng.randn(30, 16).astype(np.float32)
+    vecs = list(base) + [base[i] + rng.normal(0, 1e-3, 16).astype(np.float32) for i in range(10)]
+    ids = list(range(30)) + [100 + i for i in range(10)]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+            }
+        )
+    )
+    pairs = D.embedding_dedup_pairs(ds, threshold=0.999, num_partitions=4).to_pandas()
+    found = set(zip(pairs.left_id, pairs.right_id))
+    hits = sum((i, 100 + i) in found for i in range(10))
+    assert hits >= 8  # LSH multi-probe recall
+    assert (pairs.cosine >= 0.999).all()

@@ -1,0 +1,76 @@
+"""Text-analysis kernel + stage tests."""
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from entity_matching_datasets_ray.functions import text as T
+from entity_matching_datasets_ray.stages.text_analysis import (
+    annotate_documents,
+    language_histogram,
+    token_counts,
+)
+
+
+def test_detect_language():
+    assert T.detect_language("the cat and the dog went to the park") == "en"
+    assert T.detect_language("der hund und die katze sind nicht da") == "de"
+    assert T.detect_language("le chat est dans la maison pour une heure") == "fr"
+    assert T.detect_language("你好世界你好世界你好世界") == "zh"
+    assert T.detect_language("") == "und"
+    assert T.detect_language("xqzt blorp") == "und"
+
+
+def test_quality_features():
+    good = T.quality_features("The quick brown fox jumps over the lazy dog near the river bank.")
+    bad = T.quality_features("!!! ### $$$ %%% ^^^ &&&")
+    assert good["quality_score"] > bad["quality_score"]
+    assert T.quality_features(None)["quality_score"] == 0.0
+
+
+def test_token_counting():
+    assert T.count_tokens_ws("a b  c") == 3
+    assert T.count_tokens_ws("") == 0
+    assert T.count_tokens_bpeish("hello world") == 2
+    assert T.count_tokens_bpeish("it's fine") >= 3  # 'it', ''s', ' fine'
+
+
+def test_fingerprint_properties():
+    assert T.document_fingerprint("Hello  World") == T.document_fingerprint("hello world")
+    assert T.document_fingerprint("a b") != T.document_fingerprint("b a")  # order-sensitive
+    assert T.document_fingerprint("") == 0
+
+
+@pytest.fixture(scope="module")
+def docs_ds():
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": [
+                    "the cat and the dog went to the park for a walk",
+                    "der hund und die katze sind nicht da heute",
+                    "the quick brown fox jumps over the lazy dog",
+                ],
+            }
+        )
+    )
+
+
+def test_annotate_stage(docs_ds):
+    out = annotate_documents(docs_ds).to_pandas().sort_values("doc_id")
+    assert list(out.lang_pred) == ["en", "de", "en"]
+    assert list(out.n_tokens_ws) == [12, 9, 9]
+    assert (out.quality_score > 0).all()
+
+
+def test_token_counts_stage(docs_ds):
+    out = token_counts(docs_ds).to_pandas().sort_values("doc_id")
+    assert list(out.n_tokens_ws) == [12, 9, 9]
+    assert (out.n_tokens_bpe >= out.n_tokens_ws).all()
+
+
+def test_language_histogram(docs_ds):
+    out = language_histogram(docs_ds).to_pandas()
+    hist = dict(zip(out.lang_pred, out.n))
+    assert hist == {"en": 2, "de": 1}
