@@ -231,6 +231,33 @@ def _ditto_convert(sf_dir: str):
     return to_wide_rows(pairs, fields).sort("id")
 
 
+def _enrich_beer(sf_dir: str):
+    """Deterministic enrichment pipeline (reference E2) over synthesized
+    Beer-style wide pair rows — exercises the schema-widening normalizer
+    chain end to end (rows-only; scalar semantics are unit-tested)."""
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.pipelines.enrich import SPECS, enrich_pairs
+
+    styles = ["American Amber / Red Ale", "English Ale", "Munich Lager", "Imperial Stout"]
+    n = 200
+    t = pa.table(
+        {
+            "id": pa.array(list(range(n)), pa.int64()),
+            "label": pa.array([i % 2 for i in range(n)], pa.int8()),
+            "left_Beer_Name": [f"sample  sample beer {i}" for i in range(n)],
+            "right_Beer_Name": [f"sample beer {i}" for i in range(n)],
+            "left_Brew_Factory_Name": [f"brewery {i % 7}" for i in range(n)],
+            "right_Brew_Factory_Name": [f"brewery {i % 7}" for i in range(n)],
+            "left_Style": [styles[i % 4] for i in range(n)],
+            "right_Style": [styles[(i + 1) % 4] for i in range(n)],
+            "left_ABV": [f"{4 + (i % 60) / 10:.2f} %" for i in range(n)],
+            "right_ABV": ["-" if i % 9 == 0 else f"{4 + (i % 60) / 10:.2f}%" for i in range(n)],
+        }
+    )
+    return enrich_pairs(rd.from_arrow(t), SPECS["beer"]).sort("id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from entity_matching_datasets_ray.pipelines import relational as R
 
@@ -260,6 +287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_histogram": _langid_histogram,
         "media_features": _media_features,
         "ditto_convert": _ditto_convert,
+        "enrich_beer": _enrich_beer,
     }
 
 
