@@ -293,20 +293,78 @@ class PairScorer:
             self._sides[key] = s
         return s
 
+    @staticmethod
+    def _clean_col(series: pd.Series) -> np.ndarray:
+        """object array with NaN/'' normalized to None (vectorized)."""
+        arr = series.to_numpy(dtype=object, copy=True)
+        mask = pd.isna(series).to_numpy() | (arr == "")
+        arr[mask] = None
+        return arr
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         n = len(batch)
         feats = np.empty((n, len(FEATURE_NAMES)))
-        lcols = {f: batch[f"l_{f}"].tolist() for f in FEATURE_COLUMNS if f != "doc_id"}
-        rcols = {f: batch[f"r_{f}"].tolist() for f in FEATURE_COLUMNS if f != "doc_id"}
         side = self._side
+        memo = self._edit_memo
+
+        # --- name features: per-row loop over cached sides ---------------
+        lnames = batch["l_norm_name"].tolist()
+        rnames = batch["r_norm_name"].tolist()
         for i in range(n):
-            ls = side(_none_if_na(lcols["norm_name"][i]))
-            rs = side(_none_if_na(rcols["norm_name"][i]))
-            jw, lev, jac, ng, contain, tfidf = _name_features(ls, rs, self._edit_memo)
-            left = {f: _none_if_na(lcols[f][i]) for f in _AUX_COLUMNS}
-            right = {f: _none_if_na(rcols[f][i]) for f in _AUX_COLUMNS}
-            feats[i, 0:6] = (jw, lev, jac, ng, contain, tfidf)
-            feats[i, 6:] = _aux_features(left, right)
+            ls = side(_none_if_na(lnames[i]))
+            rs = side(_none_if_na(rnames[i]))
+            feats[i, 0:6] = _name_features(ls, rs, memo)
+
+        # --- exact-agreement aux features: fully vectorized --------------
+        def eq_feature(col: str) -> np.ndarray:
+            l = self._clean_col(batch[f"l_{col}"])
+            r = self._clean_col(batch[f"r_{col}"])
+            missing = (l == None) | (r == None)  # noqa: E711 (elementwise)
+            return np.where(missing, 0.5, (l == r).astype(np.float64))
+
+        col_idx = {f: j for j, f in enumerate(FEATURE_NAMES)}
+        for col, fname in [
+            ("norm_brand", "brand_eq"),
+            ("modelno", "model_eq"),
+            ("phone_norm", "phone_eq"),
+            ("city", "city_eq"),
+            ("venue", "venue_eq"),
+            ("year", "year_eq"),
+            ("date_iso", "date_eq"),
+            ("time", "time_eq"),
+        ]:
+            feats[:, col_idx[fname]] = eq_feature(col)
+
+        lp = batch["l_price_num"].to_numpy(dtype=np.float64, na_value=np.nan)
+        rp = batch["r_price_num"].to_numpy(dtype=np.float64, na_value=np.nan)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            denom = np.maximum(np.maximum(np.abs(lp), np.abs(rp)), 1e-9)
+            close = np.maximum(0.0, 1.0 - np.abs(lp - rp) / denom)
+        feats[:, col_idx["price_close"]] = np.where(np.isnan(lp) | np.isnan(rp), 0.5, close)
+
+        # --- string-similarity aux features: loop only non-null rows -----
+        for col, fname, kind in [
+            ("addr", "addr_jw", "jw_lower"),
+            ("authors", "authors_jac", "tok_jac"),
+            ("artist", "artist_jw", "jw"),
+            ("album", "album_jw", "jw"),
+        ]:
+            l = self._clean_col(batch[f"l_{col}"])
+            r = self._clean_col(batch[f"r_{col}"])
+            out_col = np.full(n, 0.5)
+            present = ~((l == None) & (r == None))  # noqa: E711
+            for i in np.flatnonzero(present):
+                a, b = l[i], r[i]
+                if kind == "jw":
+                    out_col[i] = S.jaro_winkler(a or "", b or "")
+                elif kind == "jw_lower":
+                    out_col[i] = S.jaro_winkler((a or "").lower(), (b or "").lower())
+                else:
+                    out_col[i] = S.token_jaccard(
+                        (a or "").lower().split(", "), (b or "").lower().split(", ")
+                    )
+            feats[:, col_idx[fname]] = out_col
+
         z = feats @ self.w + self.b
         score = 1.0 / (1.0 + np.exp(-z))
         out = pd.DataFrame({"left_id": batch["left_id"], "right_id": batch["right_id"]})
