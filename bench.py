@@ -62,6 +62,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     sf = _sf_of(sf_dir)
     queries: dict[str, float] = {}
+    headline_only = os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") == "1"
 
     # warm the OS page cache so we measure compute + shuffle, not cold reads
     rd.read_parquet(f"{sf_dir}/lineitem.parquet").count()
@@ -80,6 +81,22 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     pairs_scored = scored.count()
     linkage_sec = time.time() - t0
     queries["linkage_synth"] = round(linkage_sec, 2)
+
+    if headline_only:
+        result = {
+            "metric": "linkage_synth_sec",
+            "value": round(linkage_sec, 2),
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf,
+            "num_cpus": num_cpus,
+            "n_entities": n_ent,
+            "n_clusters": n_clusters,
+            "pairs_scored": pairs_scored,
+            "pairs_per_sec": round(pairs_scored / linkage_sec, 1),
+        }
+        ray.shutdown()
+        return result
 
     # --- flagship over the driver documents table ----------------------
     t0 = time.time()
@@ -135,7 +152,13 @@ def run_scaling(sf_dir: str) -> dict:
     """Same headline job, fresh processes, 8 vs 32 CPUs."""
 
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
+        # scaling measures the headline pipeline only (same input both runs)
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_SF_DIR=sf_dir,
+            GRAFT_BENCH_HEADLINE_ONLY="1",
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

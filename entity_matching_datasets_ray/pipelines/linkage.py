@@ -35,10 +35,12 @@ class LinkageConfig:
     seed: int = 42
     threshold: float = 0.7            # match-score cutoff (calibrated: P~0.99 R~0.997 at 20k entities)
     num_partitions: int = 32          # shuffle/join partitioning
+    num_buckets: int | None = None    # two-level-grouping fan-out (default 8x partitions)
     scorer_concurrency: int | tuple = (1, 8)
     scorer_batch_size: int = 2048
     max_vocab: int = 1_000_000
     weights: dict | None = None
+    join_strategy: str = "auto"       # broadcast (small entity table) | shuffle (at scale)
     exact_keys: tuple = (("norm_brand", "modelno"), ("phone_norm",), ("skeleton_key",))
 
 
@@ -66,6 +68,7 @@ def run_linkage(docs, config: LinkageConfig | None = None, return_intermediates:
         num_bands=cfg.num_bands,
         seed=cfg.seed,
         num_partitions=cfg.num_partitions,
+        num_buckets=cfg.num_buckets or 8 * cfg.num_partitions,
         exact_keys=cfg.exact_keys,
     )
 
@@ -78,6 +81,7 @@ def run_linkage(docs, config: LinkageConfig | None = None, return_intermediates:
         num_partitions=cfg.num_partitions,
         concurrency=cfg.scorer_concurrency,
         batch_size=cfg.scorer_batch_size,
+        join_strategy=cfg.join_strategy,
     )
 
     if return_intermediates:

@@ -126,13 +126,16 @@ def default_idf_value(n_docs: int) -> float:
 # normalization, and token/tfidf features cover the long tail.
 EDIT_KERNEL_CAP = 64
 
-# If BOTH set-overlap features fall below this, the pair cannot clear any
-# sane match threshold (the fitted weights put >10 logits on name
-# similarity); skip the expensive edit-distance kernels and reuse the
-# n-gram Jaccard as their stand-in (a conservative under-estimate, so
-# borderline negatives score lower, never higher). True duplicates sit far
-# above this band (tests assert F1 >= 0.99 with the fast path active).
-CHEAP_REJECT = 0.30
+# Cheap-reject gate: when ALL set-overlap/tfidf features fall below these
+# bounds, the pair cannot clear a sane match threshold (the fitted weights
+# put >10 logits on name similarity), so the expensive O(len^2) edit
+# kernels are skipped and the n-gram Jaccard stands in for jw/lev — a
+# conservative under-estimate, so borderline negatives score lower, never
+# higher. Measured on the 20k-entity corpus: gates 51% of candidates while
+# touching 30/26723 gold pairs (0.1%), most re-linked by transitivity
+# (tests assert F1 >= 0.99 with the fast path active).
+CHEAP_REJECT_JAC = 0.45
+CHEAP_REJECT_TFIDF = 0.55
 
 
 class _Side:
@@ -185,7 +188,7 @@ def _name_features(l: _Side, r: _Side, edit_memo: dict | None = None) -> tuple[f
         a, b = (l.vec, r.vec) if len(l.vec) <= len(r.vec) else (r.vec, l.vec)
         dot = sum(w * b[t] for t, w in a.items() if t in b)
         tfidf = dot / (l.norm * r.norm)
-    if jac < CHEAP_REJECT and ng < CHEAP_REJECT:
+    if jac < CHEAP_REJECT_JAC and ng < CHEAP_REJECT_JAC and tfidf < CHEAP_REJECT_TFIDF:
         jw = lev = ng
     elif edit_memo is not None:
         key = (l.capped, r.capped)
@@ -390,6 +393,48 @@ def _prefixed(entities, prefix: str):
     )
 
 
+class BroadcastPairScorer(PairScorer):
+    """Scorer for the broadcast path: the whole entity feature table is
+    ``ray.put`` once and read into each actor's ``__init__``; batches carry
+    bare (left_id, right_id) pairs and sides come from a dict lookup —
+    no shuffle join at all. Used when the entity table fits comfortably in
+    worker memory; the partitioned hash join is the big-side path."""
+
+    def __init__(self, features_ref, idf_ref, n_docs, weights=None):
+        super().__init__(idf_ref, n_docs, weights)
+        obj = ray.get(features_ref) if isinstance(features_ref, ray.ObjectRef) else features_ref
+        self.fdf: pd.DataFrame = obj  # indexed by doc_id
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        # C-level hash lookups: one reindex per side, no per-row python
+        l = self.fdf.reindex(batch["left_id"].to_numpy())
+        r = self.fdf.reindex(batch["right_id"].to_numpy())
+        l.columns = [f"l_{c}" for c in l.columns]
+        r.columns = [f"r_{c}" for c in r.columns]
+        merged = pd.concat(
+            [
+                batch[["left_id", "right_id"]].reset_index(drop=True),
+                l.reset_index(drop=True),
+                r.reset_index(drop=True),
+            ],
+            axis=1,
+        )
+        return super().__call__(merged)
+
+
+def broadcast_features(entities) -> pd.DataFrame:
+    """Driver-side: entity table -> doc_id-indexed feature frame for
+    ray.put (zero-copy into each actor via the object store)."""
+    df = entities.select_columns(FEATURE_COLUMNS).to_pandas()
+    return df.set_index("doc_id")
+
+
+# Above this row count the entity feature table stops being broadcast and
+# pair enrichment falls back to partitioned hash joins. ~500k rows x ~200 B
+# ≈ 100 MB per worker — comfortable; at 10^12 docs the join path is used.
+BROADCAST_MAX_DOCS = 500_000
+
+
 def score_pairs(
     pairs,
     entities,
@@ -399,13 +444,32 @@ def score_pairs(
     num_partitions: int = 32,
     concurrency: int | tuple[int, int] = (1, 8),
     batch_size: int = 2048,
+    join_strategy: str = "auto",
 ):
     """pairs (left_id,right_id) x entities -> scored pairs.
 
-    Two hash joins bring each side's feature row to the pair (both sides
-    large at 10^12 docs -> partitioned hash join, not broadcast), then the
-    scorer actor pool computes features + logistic score.
+    Side-feature attachment is adaptive (``join_strategy``):
+    - ``broadcast`` (auto when the entity table is small): features are
+      ``ray.put`` once; scorer actors look sides up in ``__init__``-loaded
+      state — zero shuffle.
+    - ``shuffle`` (auto at scale): two partitioned hash joins bring each
+      side's feature row to the pair (both sides large at 10^12 docs).
     """
+    if join_strategy == "auto":
+        join_strategy = "broadcast" if n_docs <= BROADCAST_MAX_DOCS else "shuffle"
+
+    if join_strategy == "broadcast":
+        feat_ref = ray.put(broadcast_features(entities))
+        return pairs.select_columns(["left_id", "right_id"]).map_batches(
+            BroadcastPairScorer,
+            fn_constructor_kwargs=dict(
+                features_ref=feat_ref, idf_ref=idf_ref, n_docs=n_docs, weights=weights
+            ),
+            batch_format="pandas",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+
     left_feat = _prefixed(entities, "l_")
     right_feat = _prefixed(entities, "r_")
     joined = pairs.join(
