@@ -69,12 +69,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     rd.read_parquet(f"{sf_dir}/documents.parquet").count()
 
     # --- headline: flagship linkage over the seeded synthetic corpus ----
-    n_ent = _n_entities(sf)
+    n_ent = int(os.environ.get("GRAFT_BENCH_N_ENTITIES", 0)) or _n_entities(sf)
     t0 = time.time()
     docs = synth_docs_dataset(n_ent, parallelism=num_cpus * 2)
     cfg = LinkageConfig(
         num_partitions=num_cpus,
-        scorer_concurrency=(1, max(2, num_cpus // 2)),
+        # leave a few CPUs for the shuffle aggregators + filter/write tasks
+        scorer_concurrency=(1, max(2, num_cpus - 4)),
     )
     clusters, entities, scored = run_linkage(docs, cfg, return_intermediates=True)
     n_clusters = clusters.count()
@@ -102,7 +103,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     t0 = time.time()
     dclusters = run_linkage(
         docs_from_documents_table(sf_dir),
-        LinkageConfig(num_partitions=num_cpus, scorer_concurrency=(1, max(2, num_cpus // 2))),
+        LinkageConfig(num_partitions=num_cpus, scorer_concurrency=(1, max(2, num_cpus - 4))),
     )
     dclusters.count()
     queries["linkage_documents"] = round(time.time() - t0, 2)
@@ -158,6 +159,9 @@ def run_scaling(sf_dir: str) -> dict:
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_SF_DIR=sf_dir,
             GRAFT_BENCH_HEADLINE_ONLY="1",
+            # 3x the plain-bench corpus: the scaling criterion needs enough
+            # work per leg that fixed setup doesn't dominate the fast leg
+            GRAFT_BENCH_N_ENTITIES=str(3 * _n_entities(_sf_of(sf_dir))),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

@@ -106,10 +106,18 @@ def _typo(rng: np.random.RandomState, s: str) -> str:
 # --------------------------------------------------------------------------
 
 
+def _hword(rng: np.random.RandomState, pool: list) -> str:
+    """Word with an entropy suffix: keeps the corpus vocabulary growing with
+    corpus size (Heaps-law-ish), so cross-entity shingle overlap — and with
+    it candidate-pair density — stays roughly constant as the corpus scales
+    instead of exploding quadratically on a tiny fixed pool."""
+    return f"{_pick(rng, pool)}{rng.randint(0, 100)}"
+
+
 def _entity_products(rng: np.random.RandomState, idx: int) -> dict[str, str]:
     brand, _ = _pick(rng, _BRANDS)
     model = f"{chr(65 + rng.randint(0, 26))}{chr(65 + rng.randint(0, 26))}{rng.randint(100, 9999)}"
-    name = f"{brand} {_pick(rng, _ADJS)} {_pick(rng, _ADJS)} {_pick(rng, _NOUNS)} {model}"
+    name = f"{brand} {_hword(rng, _ADJS)} {_pick(rng, _ADJS)} {_pick(rng, _NOUNS)} {model}"
     return {
         "name": name,
         "brand": brand,
@@ -124,7 +132,7 @@ def _entity_bib(rng: np.random.RandomState, idx: int) -> dict[str, str]:
     authors = ", ".join(
         f"{_pick(rng, _FIRST)} {_pick(rng, _LAST)}" for _ in range(int(rng.randint(1, 4)))
     )
-    name = f"{_pick(rng, _ADJS)} {_pick(rng, _TOPICS)} for {_pick(rng, _TOPICS)} e{idx}"
+    name = f"{_pick(rng, _ADJS)} {_hword(rng, _TOPICS)} for {_pick(rng, _TOPICS)} e{idx}"
     return {
         "name": name,
         "authors": authors,
@@ -148,7 +156,7 @@ def _entity_restaurants(rng: np.random.RandomState, idx: int) -> dict[str, str]:
 
 def _entity_songs(rng: np.random.RandomState, idx: int) -> dict[str, str]:
     artist = f"{_pick(rng, _FIRST)} {_pick(rng, _LAST)}"
-    name = f"{_pick(rng, _SONG_WORDS)} {_pick(rng, _SONG_WORDS)} {_pick(rng, _SONG_WORDS)} s{idx}"
+    name = f"{_hword(rng, _SONG_WORDS)} {_pick(rng, _SONG_WORDS)} {_pick(rng, _SONG_WORDS)} s{idx}"
     mon = int(rng.randint(1, 13))
     day = int(rng.randint(1, 29))
     year = 2000 + int(rng.randint(0, 20))
