@@ -42,6 +42,7 @@ class LinkageConfig:
     weights: dict | None = None
     join_strategy: str = "auto"       # broadcast (small entity table) | shuffle (at scale)
     exact_keys: tuple = (("norm_brand", "modelno"), ("phone_norm",), ("skeleton_key",))
+    checkpoint_root: str | None = None  # per-partition lineage checkpoint dir (resume)
 
 
 def run_linkage(docs, config: LinkageConfig | None = None, return_intermediates: bool = False):
@@ -72,17 +73,25 @@ def run_linkage(docs, config: LinkageConfig | None = None, return_intermediates:
         exact_keys=cfg.exact_keys,
     )
 
-    scored = score_pairs(
-        pairs,
-        entities,
-        idf_ref,
-        n_docs=n_docs,
-        weights=cfg.weights,
-        num_partitions=cfg.num_partitions,
-        concurrency=cfg.scorer_concurrency,
-        batch_size=cfg.scorer_batch_size,
-        join_strategy=cfg.join_strategy,
-    )
+    if cfg.checkpoint_root:
+        # Resumable path: the expensive scoring stage runs under
+        # per-partition lineage checkpointing (state/lineage.py) — a rerun
+        # after a crash redoes only partitions whose manifest entry is
+        # missing or whose input fingerprint changed (north rule:
+        # checkpoint per-partition lineage + counters, BASELINE.json:14).
+        scored = _score_checkpointed(pairs, entities, idf, n_docs, cfg)
+    else:
+        scored = score_pairs(
+            pairs,
+            entities,
+            idf_ref,
+            n_docs=n_docs,
+            weights=cfg.weights,
+            num_partitions=cfg.num_partitions,
+            concurrency=cfg.scorer_concurrency,
+            batch_size=cfg.scorer_batch_size,
+            join_strategy=cfg.join_strategy,
+        )
 
     if return_intermediates:
         # callers will consume `scored` again; pin it so the expensive
@@ -107,3 +116,39 @@ def run_linkage(docs, config: LinkageConfig | None = None, return_intermediates:
     if return_intermediates:
         return clusters, entities, scored
     return clusters
+
+
+def _score_checkpointed(pairs, entities, idf: dict, n_docs: int, cfg: LinkageConfig):
+    """Score candidate pairs under per-partition lineage checkpointing.
+
+    Side features travel inside the partition function (broadcast dict) so
+    each partition is scored independently of any live Dataset — exactly
+    what makes the partition replayable on resume.
+    """
+    import pandas as pd
+
+    from ..stages.scoring import BroadcastPairScorer, broadcast_features
+    from ..state.lineage import run_stage
+
+    fdf = broadcast_features(entities)
+    weights = cfg.weights
+
+    def score_partition(table):
+        import pyarrow as pa
+
+        scorer = BroadcastPairScorer(fdf, idf, n_docs, weights)
+        batch = table.select(["left_id", "right_id"]).to_pandas()
+        out = scorer(batch) if len(batch) else pd.DataFrame(
+            {"left_id": pd.Series(dtype=str), "right_id": pd.Series(dtype=str)}
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    scored, _report = run_stage(
+        pairs.select_columns(["left_id", "right_id"]),
+        cfg.checkpoint_root,
+        "score_pairs",
+        score_partition,
+        num_partitions=cfg.num_partitions,
+        key_columns=["left_id"],
+    )
+    return scored
