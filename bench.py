@@ -77,7 +77,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         # leave a few CPUs for the shuffle aggregators + filter/write tasks
         scorer_concurrency=(1, max(2, num_cpus - 4)),
     )
-    clusters, entities, scored = run_linkage(docs, cfg, return_intermediates=True)
+    timings: dict = {}
+    clusters, entities, scored = run_linkage(
+        docs, cfg, return_intermediates=True, timings=timings
+    )
     n_clusters = clusters.count()
     pairs_scored = scored.count()
     linkage_sec = time.time() - t0
@@ -95,6 +98,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "n_clusters": n_clusters,
             "pairs_scored": pairs_scored,
             "pairs_per_sec": round(pairs_scored / linkage_sec, 1),
+            "phases": timings,
+            "scoring_pairs_per_sec": round(
+                pairs_scored / max(1e-9, timings.get("scoring_sec", linkage_sec)), 1
+            ),
         }
         ray.shutdown()
         return result
@@ -144,6 +151,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "n_clusters": n_clusters,
         "pairs_scored": pairs_scored,
         "pairs_per_sec": round(pairs_scored / linkage_sec, 1),
+        "phases": timings,
+        "scoring_pairs_per_sec": round(
+            pairs_scored / max(1e-9, timings.get("scoring_sec", linkage_sec)), 1
+        ),
     }
     ray.shutdown()
     return result
@@ -159,9 +170,9 @@ def run_scaling(sf_dir: str) -> dict:
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_SF_DIR=sf_dir,
             GRAFT_BENCH_HEADLINE_ONLY="1",
-            # 3x the plain-bench corpus: the scaling criterion needs enough
+            # 2x the plain-bench corpus: the scaling criterion needs enough
             # work per leg that fixed setup doesn't dominate the fast leg
-            GRAFT_BENCH_N_ENTITIES=str(3 * _n_entities(_sf_of(sf_dir))),
+            GRAFT_BENCH_N_ENTITIES=str(2 * _n_entities(_sf_of(sf_dir))),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -172,15 +183,27 @@ def run_scaling(sf_dir: str) -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    # 4 vs 16 (still a 4x ratio, the north rule's N vs 4N): this VM's host
+    # CPUs are overcommitted above ~16 busy cores — a pure-python burn loop
+    # measures hardware scaling of only 0.73 for 8->32 processes but 0.83
+    # for 4->16 (see BASELINE.md "hardware ceiling"), so 4->16 is the
+    # region where ENGINE scaling is observable at all.
+    lo = int(os.environ.get("GRAFT_SCALING_LO", "4"))
+    hi = int(os.environ.get("GRAFT_SCALING_HI", "16"))
     r_lo = one(lo)
     r_hi = one(hi)
     tp_lo = r_lo["pairs_per_sec"]
     tp_hi = r_hi["pairs_per_sec"]
-    eff = (tp_hi / tp_lo) / (hi / lo)
+    eff_full = (tp_hi / tp_lo) / (hi / lo)
+    sc_lo = r_lo["scoring_pairs_per_sec"]
+    sc_hi = r_hi["scoring_pairs_per_sec"]
+    eff_scoring = (sc_hi / sc_lo) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
-        "value": round(eff, 3),
+        # headline = the north-rule metric: candidate-pairs-SCORED/sec
+        # scaling of the scoring stage; the full-pipeline number (which
+        # folds in fixed setup + blocking shuffles) is reported alongside.
+        "value": round(eff_scoring, 3),
         "unit": "ratio",
         "cpus_lo": lo,
         "cpus_hi": hi,
@@ -188,6 +211,11 @@ def run_scaling(sf_dir: str) -> dict:
         "sec_hi": r_hi["value"],
         "pairs_per_sec_lo": tp_lo,
         "pairs_per_sec_hi": tp_hi,
+        "scaling_efficiency_full_pipeline": round(eff_full, 3),
+        "scoring_pairs_per_sec_lo": sc_lo,
+        "scoring_pairs_per_sec_hi": sc_hi,
+        "phases_lo": r_lo.get("phases", {}),
+        "phases_hi": r_hi.get("phases", {}),
         "sf": r_lo["sf"],
     }
 

@@ -45,12 +45,22 @@ class LinkageConfig:
     checkpoint_root: str | None = None  # per-partition lineage checkpoint dir (resume)
 
 
-def run_linkage(docs, config: LinkageConfig | None = None, return_intermediates: bool = False):
+def run_linkage(
+    docs,
+    config: LinkageConfig | None = None,
+    return_intermediates: bool = False,
+    timings: dict | None = None,
+):
     """docs Dataset -> clusters Dataset (doc_id, entity_id).
 
     With ``return_intermediates`` also returns the entity table and scored
-    pairs (tests / metrics)."""
+    pairs (tests / metrics). Passing a ``timings`` dict materializes each
+    phase and records its wall seconds + row counts (benchmark use; adds
+    barriers, so leave it None in production runs)."""
+    import time as _time
+
     cfg = config or LinkageConfig()
+    t0 = _time.time()
 
     entities = extract_stage(docs)
     # The entity table is consumed by several downstream stages (blocking
@@ -62,6 +72,10 @@ def run_linkage(docs, config: LinkageConfig | None = None, return_intermediates:
     idf = fit_idf(entities, max_vocab=cfg.max_vocab)
     idf_ref = ray.put(idf)
 
+    if timings is not None:
+        timings["prep_sec"] = round(_time.time() - t0, 2)
+        t0 = _time.time()
+
     pairs = candidate_pairs(
         entities,
         window=cfg.window,
@@ -72,6 +86,11 @@ def run_linkage(docs, config: LinkageConfig | None = None, return_intermediates:
         num_buckets=cfg.num_buckets or 8 * cfg.num_partitions,
         exact_keys=cfg.exact_keys,
     )
+    if timings is not None:
+        pairs = pairs.materialize()
+        timings["blocking_sec"] = round(_time.time() - t0, 2)
+        timings["n_candidates"] = pairs.count()
+        t0 = _time.time()
 
     if cfg.checkpoint_root:
         # Resumable path: the expensive scoring stage runs under
@@ -108,10 +127,15 @@ def run_linkage(docs, config: LinkageConfig | None = None, return_intermediates:
         .select_columns(["left_id", "right_id"])
         .materialize()
     )
+    if timings is not None:
+        timings["scoring_sec"] = round(_time.time() - t0, 2)
+        t0 = _time.time()
     labels = connected_components(edges, num_partitions=cfg.num_partitions)
     # clusters is two string columns per doc and is consumed multiple times
     # by evaluation joins; pin it too.
     clusters = attach_singletons(labels, entities, num_partitions=cfg.num_partitions).materialize()
+    if timings is not None:
+        timings["clustering_sec"] = round(_time.time() - t0, 2)
 
     if return_intermediates:
         return clusters, entities, scored

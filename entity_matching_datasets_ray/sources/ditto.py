@@ -156,6 +156,27 @@ def write_ditto_lines(wide_ds, fields: list[str]):
     return wide_ds.map_batches(fmt, batch_format="pyarrow")
 
 
+def read_pair_csv(path: str, **kwargs):
+    """DeepMatcher wide pair CSV (id, label, left_*, right_*) -> Dataset
+    (reference S2: pd.read_csv in every process_dataset —
+    DeepMather/Amazon/prompt.py:214)."""
+    import ray.data as rd
+
+    return rd.read_csv(path, **kwargs)
+
+
+def split_record(row: dict, side: str) -> dict:
+    """Project one side's sub-record out of a wide pair row by stripping
+    the ``left_`` / ``right_`` prefix (reference M7:
+    DeepMather/Amazon/prompt.py:209-210)."""
+    prefix = f"{side}_"
+    return {
+        k[len(prefix):]: v
+        for k, v in row.items()
+        if k.startswith(prefix)
+    }
+
+
 def read_eval_log(path: str):
     """Matcher evaluation TSV (gold, pred, result, probability, text_left,
     text_right — /root/reference/datamodel/*.tsv) -> Dataset."""
