@@ -6,7 +6,8 @@ Composition (SURVEY.md §3 "Our engine's lifecycle"):
       -> extract+normalize      map_batches, zero-copy Arrow
       -> blocking (SNM + LSH + exact keys)   groupby shuffles, capped blocks
       -> exact pair dedup       groupby on (left_id, right_id)
-      -> feature scoring        hash joins + actor pool (IDF broadcast)
+      -> feature scoring        actor pool (IDF broadcast; side features
+                                via broadcast lookup or partitioned hash join)
       -> threshold filter -> matched edges
       -> connected components   iterative groupby-min
       -> canonical election     min doc_id per component (+ singletons)
