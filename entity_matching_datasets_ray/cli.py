@@ -1,0 +1,141 @@
+"""Command-line entry points — the engine-side equivalents of the
+reference's per-script CLIs (``python walmart.py``, ``python prompt.py``:
+/root/reference/Converters/computers/walmart.py:106-115,
+/root/reference/DeepMather/Amazon/prompt.py:247-261).
+
+Usage (this script OWNS its Ray session):
+
+    python -m entity_matching_datasets_ray.cli convert IN.txt OUT_DIR
+    python -m entity_matching_datasets_ray.cli enrich SPEC IN.csv OUT_DIR
+    python -m entity_matching_datasets_ray.cli link DOCS_PARQUET OUT_DIR \\
+        [--threshold 0.7] [--checkpoint DIR]
+    python -m entity_matching_datasets_ray.cli dedup IN_PARQUET OUT_DIR \\
+        [--method exact|minhash]
+
+Outputs are partitioned Parquet directories (resumable layout).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_convert(args) -> int:
+    from .sources.ditto import convert_ditto_to_wide
+
+    wide, fields = convert_ditto_to_wide(args.input)
+    wide.write_parquet(args.output)
+    print(f"fields: {fields}")
+    print(f"rows: {wide.count()} -> {args.output}")
+    return 0
+
+
+def cmd_enrich(args) -> int:
+    from .pipelines.enrich import SPECS, enrich_pairs
+    from .sources.ditto import read_pair_csv
+
+    if args.spec not in SPECS:
+        print(f"unknown spec {args.spec!r}; have {sorted(SPECS)}", file=sys.stderr)
+        return 2
+    out = enrich_pairs(read_pair_csv(args.input), SPECS[args.spec])
+    out.write_parquet(args.output)
+    print(f"rows: {out.count()} -> {args.output}")
+    return 0
+
+
+def cmd_link(args) -> int:
+    import ray.data as rd
+
+    from .pipelines.linkage import LinkageConfig, run_linkage
+
+    docs = rd.read_parquet(args.input)
+    cfg = LinkageConfig(
+        threshold=args.threshold,
+        num_partitions=args.partitions,
+        checkpoint_root=args.checkpoint,
+    )
+    clusters = run_linkage(docs, cfg)
+    clusters.write_parquet(args.output)
+    print(f"clusters: {clusters.count()} rows -> {args.output}")
+    return 0
+
+
+def cmd_dedup(args) -> int:
+    import ray.data as rd
+
+    from .stages.dedup import exact_dedup, minhash_dedup
+
+    ds = rd.read_parquet(args.input, columns=[args.id_col, args.text_col])
+    if args.method == "exact":
+        out = exact_dedup(ds, id_col=args.id_col, text_col=args.text_col)
+    else:
+        out = minhash_dedup(
+            ds, id_col=args.id_col, text_col=args.text_col, threshold=args.threshold
+        )
+    out.write_parquet(args.output)
+    print(f"survivors: {out.count()} -> {args.output}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="entity_matching_datasets_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("convert", help="Ditto text -> DeepMatcher wide parquet")
+    c.add_argument("input")
+    c.add_argument("output")
+    c.set_defaults(fn=cmd_convert)
+
+    e = sub.add_parser("enrich", help="normalize a wide pair CSV with a DatasetSpec")
+    e.add_argument("spec")
+    e.add_argument("input")
+    e.add_argument("output")
+    e.set_defaults(fn=cmd_enrich)
+
+    l = sub.add_parser("link", help="spans docs parquet -> entity clusters")
+    l.add_argument("input")
+    l.add_argument("output")
+    l.add_argument("--threshold", type=float, default=0.7)
+    l.add_argument("--partitions", type=int, default=16)
+    l.add_argument("--checkpoint", default=None)
+    l.set_defaults(fn=cmd_link)
+
+    d = sub.add_parser("dedup", help="document dedup -> survivor ids parquet")
+    d.add_argument("input")
+    d.add_argument("output")
+    d.add_argument("--method", choices=["exact", "minhash"], default="exact")
+    d.add_argument("--id-col", default="doc_id")
+    d.add_argument("--text-col", default="text")
+    d.add_argument("--threshold", type=float, default=0.8)
+    d.set_defaults(fn=cmd_dedup)
+
+    args = p.parse_args(argv)
+    _init_ray(args.num_cpus)
+    try:
+        return args.fn(args)
+    finally:
+        import ray
+
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

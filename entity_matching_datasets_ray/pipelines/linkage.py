@@ -158,6 +158,8 @@ def _score_checkpointed(pairs, entities, idf: dict, n_docs: int, cfg: LinkageCon
     fdf = broadcast_features(entities)
     weights = cfg.weights
 
+    threshold = cfg.threshold
+
     def score_partition(table):
         import pyarrow as pa
 
@@ -166,7 +168,11 @@ def _score_checkpointed(pairs, entities, idf: dict, n_docs: int, cfg: LinkageCon
         out = scorer(batch) if len(batch) else pd.DataFrame(
             {"left_id": pd.Series(dtype=str), "right_id": pd.Series(dtype=str)}
         )
-        return pa.Table.from_pandas(out, preserve_index=False)
+        counters = {
+            "pairs_scored": int(len(out)),
+            "matches": int((out["score"] >= threshold).sum()) if len(out) else 0,
+        }
+        return pa.Table.from_pandas(out, preserve_index=False), counters
 
     scored, _report = run_stage(
         pairs.select_columns(["left_id", "right_id"]),

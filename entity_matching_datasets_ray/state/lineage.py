@@ -132,9 +132,12 @@ def run_stage(
     num_partitions: int = 16,
     key_columns: list[str] | None = None,
 ):
-    """Execute ``fn(partition_table) -> table`` over hash partitions of
-    ``ds`` with per-partition checkpointing; returns a Dataset over the
-    stage's (existing + newly written) partition files.
+    """Execute ``fn(partition_table) -> table | (table, counters)`` over
+    hash partitions of ``ds`` with per-partition checkpointing; returns a
+    Dataset over the stage's (existing + newly written) partition files.
+    ``counters`` (a small dict) is recorded in the partition's manifest
+    entry — the per-partition lineage *and counters* the north rule asks
+    to checkpoint.
 
     Partitioning is deterministic (hash of the first key column), so a
     resumed run sees identical partition contents and can trust the
@@ -164,8 +167,9 @@ def run_stage(
             return pa.table({"partition": pa.array([part], pa.int32()),
                              "skipped": pa.array([True]),
                              "rows": pa.array([ckpt.read_partition(part).num_rows], pa.int64())})
-        out = fn(table)
-        ckpt.write_partition(part, out, fp)
+        res = fn(table)
+        out, counters = res if isinstance(res, tuple) else (res, {})
+        ckpt.write_partition(part, out, fp, counters)
         return pa.table({"partition": pa.array([part], pa.int32()),
                          "skipped": pa.array([False]),
                          "rows": pa.array([out.num_rows], pa.int64())})
