@@ -221,9 +221,19 @@ def run_scaling(sf_dir: str) -> dict:
 
 
 if __name__ == "__main__":
-    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling(sf_dir)))
-    else:
-        num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-        print(json.dumps(run_bench(sf_dir, num_cpus)))
+    # Ray's raylet/worker children inherit our stdout fd and can interleave
+    # warnings with the result. Point fd 1 at stderr for the whole run and
+    # write the single JSON line to the saved real stdout at the end.
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
+    sys.stdout = os.fdopen(os.dup(2), "w")
+    try:
+        sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        if "--scaling" in sys.argv:
+            result = run_scaling(sf_dir)
+        else:
+            num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+            result = run_bench(sf_dir, num_cpus)
+    finally:
+        sys.stdout.flush()
+    os.write(real_stdout, (json.dumps(result) + "\n").encode())
