@@ -272,6 +272,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_langs": R.q_distinct_langs,
         "customer_order_stats": R.q_customer_order_stats,
         "lineitem_filter_project": R.q_lineitem_filter_project,
+        "top_orders_per_segment": R.q_top_orders_per_segment,
+        "customers_without_orders": R.q_customers_without_orders,
         "exact_dedup_documents": _exact_dedup_documents,
         "token_counts_documents": _token_counts_documents,
         "confusion_eval": _confusion_eval,
@@ -366,6 +368,27 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_discount >= 0.08
             ORDER BY l_orderkey, l_linenumber
+        """,
+        "top_orders_per_segment": """
+            SELECT c_mktsegment, o_orderkey, o_totalprice
+            FROM (
+                SELECT c_mktsegment, o_orderkey, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY c_mktsegment
+                           ORDER BY o_totalprice DESC, o_orderkey
+                       ) AS rn
+                FROM orders JOIN customer ON o_custkey = c_custkey
+            )
+            WHERE rn <= 3
+            ORDER BY c_mktsegment, o_totalprice DESC, o_orderkey
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name
+            FROM customer
+            WHERE c_custkey NOT IN (
+                SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+            )
+            ORDER BY c_custkey
         """,
         "exact_dedup_documents": """
             SELECT min(doc_id) AS doc_id

@@ -142,6 +142,66 @@ def q_customer_order_stats(sf_dir: str):
     return out.sort("n_orders")
 
 
+def q_top_orders_per_segment(sf_dir: str):
+    """Top-k per group: 3 highest-value orders per market segment.
+
+    groupby(segment).map_groups with a per-group sort+head — the grouped
+    top-k pattern (per-group state never leaves its partition).
+    """
+    import pandas as pd
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    j = orders.join(
+        cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(3)
+        return out[["c_mktsegment", "o_orderkey", "o_totalprice"]]
+
+    return (
+        j.groupby("c_mktsegment")
+        .map_groups(topk, batch_format="pandas")
+        .sort(["c_mktsegment", "o_totalprice", "o_orderkey"], descending=[False, True, False])
+    )
+
+
+def q_customers_without_orders(sf_dir: str):
+    """Anti-join via broadcast key set: customers with no order above
+    $300k.
+
+    The filtered small side's key set is collected once and shipped to
+    every batch (``ray.put``) — the broadcast semi/anti-join pattern; no
+    shuffle.
+    """
+    import ray
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], pa.scalar(300000.0))),
+        batch_format="pyarrow",
+    )
+    keys = set()
+    for b in orders.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        keys.update(b["o_custkey"].to_pylist())
+    keys_ref = ray.put(keys)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    class AntiFilter:
+        def __init__(self):
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t.column("c_custkey").to_pylist()
+            mask = pa.array([i not in self.keys for i in ids], pa.bool_())
+            return t.filter(mask)
+
+    return cust.map_batches(AntiFilter, batch_format="pyarrow", concurrency=(1, 2)).sort(
+        "c_custkey"
+    )
+
+
 def q_lineitem_filter_project(sf_dir: str):
     """Vectorized filter + projection: high-discount lines."""
     ds = _read(
