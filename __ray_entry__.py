@@ -129,6 +129,17 @@ def _ann_bruteforce(sf_dir: str):
     return out.select_columns(["query_id", "match_id"]).sort(["query_id", "match_id"])
 
 
+def _ann_ivf(sf_dir: str):
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.stages.ann import ivf_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = ds.sort("vec_id").limit(5).to_pandas()
+    out = ivf_topk(ds, q["vec_id"].tolist(), np.stack(q["embedding"].to_numpy()), k=10)
+    return out.select_columns(["query_id", "match_id"]).sort(["query_id", "match_id"])
+
+
 def _ann_lsh(sf_dir: str):
     import ray.data as rd
 
@@ -285,6 +296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup_pairs": _embedding_dedup_pairs,
         "ann_bruteforce": _ann_bruteforce,
         "ann_lsh": _ann_lsh,
+        "ann_ivf": _ann_ivf,
         "annotate_documents": _annotate_documents,
         "langid_histogram": _langid_histogram,
         "media_features": _media_features,

@@ -95,6 +95,96 @@ def _plane_sigs(V: np.ndarray, planes: np.ndarray) -> np.ndarray:
     return sig
 
 
+def ivf_topk(
+    ds,
+    query_ids: list,
+    query_vectors,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    num_partitions: int = 8,
+):
+    """IVF-style approximate top-k: a deterministic coarse quantizer
+    (centroids = the ``num_centroids`` lowest-id vectors, one Lloyd
+    refinement pass over a sample) assigns every vector to its nearest
+    centroid; each query scans only its ``nprobe`` nearest centroid
+    cells. The centroid matrix is tiny and travels by closure; cell
+    assignment is a vectorized matmul per batch.
+    """
+    import ray
+
+    seed_rows = ds.sort(id_col).limit(num_centroids).to_pandas()
+    C = _normalize(np.stack(seed_rows[vec_col].to_numpy()).astype(np.float32))
+    # one refinement pass over a bounded sample (deterministic: first rows)
+    sample = ds.limit(max(1000, num_centroids * 20)).to_pandas()
+    V = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float32))
+    assign = (V @ C.T).argmax(axis=1)
+    for c in range(num_centroids):
+        members = V[assign == c]
+        if len(members):
+            m = members.mean(axis=0)
+            n = np.linalg.norm(m)
+            if n > 0:
+                C[c] = m / n
+    C_ref = ray.put(C)
+
+    Q = _normalize(np.asarray(query_vectors, dtype=np.float32))
+    qcells = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    cell_to_queries: dict[int, list[tuple]] = {}
+    for qi, qid in enumerate(query_ids):
+        for c in qcells[qi]:
+            cell_to_queries.setdefault(int(c), []).append((qid, qi))
+    cq_ref = ray.put({"cells": cell_to_queries, "Q": Q})
+
+    class CellScan:
+        def __init__(self):
+            self.C = ray.get(C_ref)
+            obj = ray.get(cq_ref)
+            self.cells = obj["cells"]
+            self.Q = obj["Q"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column(id_col).to_pylist())
+            V = _normalize(np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float32))
+            assign = (V @ self.C.T).argmax(axis=1)
+            out_q, out_id, out_sim = [], [], []
+            for c, qlist in self.cells.items():
+                mask = assign == c
+                if not mask.any():
+                    continue
+                sub_ids = ids[mask]
+                sub_V = V[mask]
+                for qid, qi in qlist:
+                    sims = sub_V @ self.Q[qi]
+                    kk = min(k, len(sims))
+                    top = np.argpartition(-sims, kk - 1)[:kk] if kk > 0 else []
+                    for j in top:
+                        out_q.append(qid)
+                        out_id.append(sub_ids[j])
+                        out_sim.append(float(sims[j]))
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q),
+                    "match_id": pa.array(out_id),
+                    "cosine": pa.array(out_sim, pa.float32()),
+                }
+            )
+
+    locals_ = ds.select_columns([id_col, vec_col]).map_batches(
+        CellScan, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4)
+    )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["query_id", "match_id"])
+        return df.sort_values(["cosine", "match_id"], ascending=[False, True]).head(k)
+
+    return locals_.groupby("query_id", num_partitions=num_partitions).map_groups(
+        merge, batch_format="pandas"
+    )
+
+
 def lsh_topk(
     ds,
     query_ids: list,

@@ -60,3 +60,19 @@ def test_lsh_topk_recall(corpus):
     assert np.mean(recalls) >= 0.3
     for qid in qids:
         assert qid in set(out[out.query_id == qid]["match_id"])
+
+
+def test_ivf_topk_recall(corpus):
+    from entity_matching_datasets_ray.stages.ann import ivf_topk
+
+    ds, V = corpus
+    qids = [0, 10, 20]
+    out = ivf_topk(ds, qids, V[qids], k=10, num_centroids=8, nprobe=4, num_partitions=4).to_pandas()
+    recalls = []
+    for qid in qids:
+        got = set(out[out.query_id == qid]["match_id"])
+        oracle = _oracle_topk(V, V[qid], 10)
+        recalls.append(len(got & oracle) / 10)
+    assert np.mean(recalls) >= 0.4
+    for qid in qids:
+        assert qid in set(out[out.query_id == qid]["match_id"])  # self found

@@ -129,3 +129,40 @@ def test_null_sentinels():
     for s in ["", "-", "n/a", "NA", "none", "NULL", "unknown", "VAL -"]:
         assert N.null_if_sentinel(s) is None
     assert N.null_if_sentinel("real value") == "real value"
+
+
+# ---------------------------------------------------------------------------
+# property tests (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_token = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")), min_size=1, max_size=10
+)
+
+
+@given(st.dictionaries(_token, _token, min_size=1, max_size=6))
+@settings(max_examples=100, deadline=None)
+def test_colval_roundtrip_property(record):
+    # keys are lowercased by the parser; values are whitespace-collapsed
+    rec = {k.lower(): v for k, v in record.items()}
+    line = N.format_colval(rec, sorted(rec))
+    parsed = N.parse_colval(line)
+    assert parsed == {k: N.collapse_ws(v).strip(" |;,:") for k, v in rec.items()}
+
+
+@given(st.text(max_size=80))
+@settings(max_examples=100, deadline=None)
+def test_normalize_name_idempotent(s):
+    once = N.normalize_name(s)
+    assert N.normalize_name(once) == once
+
+
+@given(st.floats(min_value=0.01, max_value=99999, allow_nan=False))
+@settings(max_examples=50, deadline=None)
+def test_price_roundtrip(v):
+    v = round(v, 2)
+    assert N.parse_price(f"${v:.2f}") == v
+    assert N.parse_price(N.format_price_usd(v)) == v
