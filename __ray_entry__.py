@@ -269,6 +269,21 @@ def _enrich_beer(sf_dir: str):
     return enrich_pairs(rd.from_arrow(t), SPECS["beer"]).sort("id")
 
 
+def _reference_conformance(sf_dir: str):
+    """Pairwise F1 on the reference's own labeled pairs (train-calibrated,
+    test-evaluated) for the two small corpora — rows-only; the full table
+    incl. the big corpora is in BASELINE.md and tests/test_conformance.py."""
+    import pandas as pd
+
+    from entity_matching_datasets_ray.pipelines import conformance as C
+
+    if not C.reference_available():
+        return pd.DataFrame(
+            columns=["corpus", "train_f1", "threshold", "test_f1", "n_train", "n_test"]
+        )
+    return C.conformance_report(["Beer", "Fodors"], num_partitions=8)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from entity_matching_datasets_ray.pipelines import relational as R
 
@@ -302,6 +317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _media_features,
         "ditto_convert": _ditto_convert,
         "enrich_beer": _enrich_beer,
+        "reference_conformance": _reference_conformance,
     }
 
 

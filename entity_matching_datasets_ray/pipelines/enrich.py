@@ -83,6 +83,23 @@ def _style_flag(word):
     return f
 
 
+_SPECIAL_ING = re.compile(
+    r"(?:\bw/\s*|\bwith\s+|\bbrewed with\s+)([a-z0-9 ,&'-]+)$|\(([^)]+)\)\s*$",
+    re.IGNORECASE,
+)
+
+
+def _beer_special_ingredients(rec):
+    """Deterministic stand-in for the LLM's special-ingredient extraction
+    (Beer/prompt.py:10-21): a trailing 'w/ X' / 'with X' clause or final
+    parenthetical in the beer name."""
+    name = rec.get("name") or ""
+    m = _SPECIAL_ING.search(name)
+    if not m:
+        return None
+    return (m.group(1) or m.group(2) or "").strip() or None
+
+
 # --------------------------------------------------------------------------
 # registry — one spec per reference corpus family
 # --------------------------------------------------------------------------
@@ -202,6 +219,7 @@ _register(
             "is_ale": _style_flag("ale"),
             "is_lager": _style_flag("lager"),
             "is_imperial": _style_flag("imperial"),
+            "special_ingredients": _beer_special_ingredients,
         },
         expected_keys=(
             "name",
@@ -213,6 +231,7 @@ _register(
             "is_ale",
             "is_lager",
             "is_imperial",
+            "special_ingredients",
         ),
     )
 )

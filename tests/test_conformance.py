@@ -1,0 +1,59 @@
+"""Conformance vs the reference's own labeled corpora (skipped when the
+reference checkout is absent). Floors are set below measured test-F1
+(BASELINE.md) with margin; every floor exceeds the corresponding
+reference external-matcher log where one exists (walmart textual log:
+F1=0.313 at n=2049)."""
+
+import pytest
+
+from entity_matching_datasets_ray.pipelines import conformance as C
+
+pytestmark = pytest.mark.skipif(
+    not C.reference_available(), reason="reference checkout not present"
+)
+
+FLOORS = {
+    "Beer": 0.75,
+    "Fodors": 0.90,
+    "iTunes": 0.60,
+    "Amazon": 0.50,
+    "walmart": 0.60,
+    "DBLACM": 0.85,
+}
+
+
+@pytest.mark.parametrize("corpus", ["Beer", "Fodors"])
+def test_small_corpora_f1(corpus):
+    m = C.evaluate_corpus(corpus, num_partitions=4)
+    assert m["test_f1"] >= FLOORS[corpus], m
+
+
+@pytest.mark.parametrize("corpus", ["iTunes", "DBLACM"])
+def test_medium_corpora_f1(corpus):
+    m = C.evaluate_corpus(corpus, num_partitions=4)
+    assert m["test_f1"] >= FLOORS[corpus], m
+
+
+def test_walmart_beats_reference_matcher_log():
+    """The reference's datamodel/test_textual_log.tsv records F1=0.313 on
+    n=2049 walmart test pairs; the engine must beat it decisively."""
+    m = C.evaluate_corpus("walmart", num_partitions=4)
+    assert m["n_test"] == 2049
+    assert m["test_f1"] >= FLOORS["walmart"] > 0.313, m
+
+
+def test_beer_enrich_schema_matches_golden():
+    """Structural conformance: our deterministic Beer enrichment produces
+    the reference's widened enriched schema
+    (DeepMather/Beer/geemazero/train_enriched.csv header)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.pipelines.enrich import SPECS, enrich_pairs
+
+    golden_header = pd.read_csv(
+        f"{C.REFERENCE_ROOT}/Beer/geemazero/train_enriched.csv", nrows=0
+    ).columns.tolist()
+    raw = pd.read_csv(f"{C.REFERENCE_ROOT}/Beer/train.csv", dtype=str).head(50)
+    out = enrich_pairs(rd.from_pandas(raw), SPECS["beer"]).to_pandas()
+    assert set(out.columns) == set(golden_header)
