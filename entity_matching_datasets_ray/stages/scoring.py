@@ -51,6 +51,7 @@ FEATURE_NAMES = [
     "name_ng_jac",
     "name_contain",
     "name_tfidf",
+    "name_num_jac",
     "brand_eq",
     "model_eq",
     "price_close",
@@ -76,6 +77,11 @@ DEFAULT_WEIGHTS = {
     "name_ng_jac": 1.654,
     "name_contain": 1.280,
     "name_tfidf": 2.899,
+    # 0 by default: on the seeded corpus numeric-token overlap fires on the
+    # identical-name hard negatives (shared display numbers) and merges
+    # clusters; per-corpus calibration (pipelines/conformance.py) learns a
+    # positive weight where model numbers are discriminative.
+    "name_num_jac": 0.0,
     "brand_eq": 1.018,
     "model_eq": 1.628,
     "price_close": 1.643,
@@ -144,13 +150,16 @@ class _Side:
     candidate pairs, so tokenization / shingling / TF-IDF vectorization are
     amortized across all of them."""
 
-    __slots__ = ("name", "capped", "tok_set", "shingles", "vec", "norm")
+    __slots__ = ("name", "capped", "tok_set", "num_set", "shingles", "vec", "norm")
 
     def __init__(self, name: str, idf: dict[str, float], default_idf: float):
         self.name = name
         self.capped = name[:EDIT_KERNEL_CAP]
         tokens = name.split(" ") if name else []
         self.tok_set = set(tokens)
+        # digit-bearing tokens (model numbers, sizes, years) — the highest-
+        # signal tokens in product titles; their overlap is a feature.
+        self.num_set = {t for t in self.tok_set if any(c.isdigit() for c in t)}
         self.shingles = S.ngram_shingles(name, 3)
         tf: dict[str, int] = {}
         for t in tokens:
@@ -159,8 +168,9 @@ class _Side:
         self.norm = math.sqrt(sum(w * w for w in self.vec.values()))
 
 
-def _name_features(l: _Side, r: _Side, edit_memo: dict | None = None) -> tuple[float, float, float, float, float, float]:
-    """(jw, lev, jac, ng_jac, contain, tfidf) between two cached sides.
+def _name_features(l: _Side, r: _Side, edit_memo: dict | None = None) -> tuple[float, float, float, float, float, float, float]:
+    """(jw, lev, jac, ng_jac, contain, tfidf, num_jac) between two cached
+    sides.
     Must stay numerically identical to the uncached formulas in
     functions/similarity.py (the calibrated weights depend on it)."""
     sl, sr = l.tok_set, r.tok_set
@@ -182,6 +192,14 @@ def _name_features(l: _Side, r: _Side, edit_memo: dict | None = None) -> tuple[f
     else:
         ninter = len(ssl & ssr)
         ng = ninter / (len(ssl) + len(ssr) - ninter)
+    nl, nr = l.num_set, r.num_set
+    if not nl and not nr:
+        num_jac = 0.5  # no numeric tokens on either side: uninformative
+    elif not nl or not nr:
+        num_jac = 0.0
+    else:
+        ninter2 = len(nl & nr)
+        num_jac = ninter2 / (len(nl) + len(nr) - ninter2)
     if l.norm == 0.0 or r.norm == 0.0:
         tfidf = 1.0 if (not sl and not sr) else 0.0
     else:
@@ -205,7 +223,7 @@ def _name_features(l: _Side, r: _Side, edit_memo: dict | None = None) -> tuple[f
     else:
         jw = S.jaro_winkler(l.capped, r.capped)
         lev = S.levenshtein_ratio(l.capped, r.capped)
-    return jw, lev, jac, ng, contain, tfidf
+    return jw, lev, jac, ng, contain, tfidf, num_jac
 
 
 _AUX_COLUMNS = [
@@ -254,10 +272,10 @@ def _aux_features(left: dict, right: dict) -> list[float]:
 def compute_pair_features(left: dict, right: dict, idf: dict[str, float], default_idf: float) -> list[float]:
     """One candidate pair -> feature vector (FEATURE_NAMES order)."""
     ln, rn = left["norm_name"] or "", right["norm_name"] or ""
-    jw, lev, name_jac, name_ng, contain, tfidf = _name_features(
+    jw, lev, name_jac, name_ng, contain, tfidf, num_jac = _name_features(
         _Side(ln, idf, default_idf), _Side(rn, idf, default_idf)
     )
-    return [jw, lev, name_jac, name_ng, contain, tfidf] + _aux_features(left, right)
+    return [jw, lev, name_jac, name_ng, contain, tfidf, num_jac] + _aux_features(left, right)
 
 
 class PairScorer:
@@ -316,7 +334,7 @@ class PairScorer:
         for i in range(n):
             ls = side(_none_if_na(lnames[i]))
             rs = side(_none_if_na(rnames[i]))
-            feats[i, 0:6] = _name_features(ls, rs, memo)
+            feats[i, 0:7] = _name_features(ls, rs, memo)
 
         # --- exact-agreement aux features: fully vectorized --------------
         def eq_feature(col: str) -> np.ndarray:
