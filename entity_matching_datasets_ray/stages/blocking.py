@@ -397,7 +397,7 @@ def dedup_pairs(pairs, num_buckets: int = DEFAULT_NUM_BUCKETS, num_partitions: i
     )
 
 
-def candidate_pairs(
+def candidate_pairs_multi_pass(
     entities,
     window: int = 10,
     num_perm: int = 32,
@@ -411,7 +411,10 @@ def candidate_pairs(
         ("skeleton_key",),
     ),
 ):
-    """Union of all blocking passes, exact-deduped."""
+    """Union of the separate blocking passes, exact-deduped (reference
+    formulation: one shuffle per pass + a dedup shuffle). Kept as the
+    didactic/compat path; ``candidate_pairs`` fuses all passes into a
+    single shuffle and is the production default."""
     passes = [
         snm_pairs(entities, window=window, num_buckets=num_buckets, num_partitions=num_partitions),
         lsh_pairs(
@@ -437,3 +440,171 @@ def candidate_pairs(
     for p in passes[1:]:
         unioned = unioned.union(p)
     return dedup_pairs(unioned, num_buckets=num_buckets, num_partitions=num_partitions)
+
+
+# --------------------------------------------------------------------------
+# fused blocking: every pass's keys in ONE emission + ONE shuffle
+# --------------------------------------------------------------------------
+
+
+class FusedKeyEmitter:
+    """Actor: one pass over the entity table emits the block-key rows of
+    ALL blocking passes at once — (key64, kind, doc_id, sort_key) — so the
+    whole candidate-generation phase costs ONE key shuffle instead of one
+    per pass plus a union. Key64 = stable hash of (kind, key payload);
+    cross-kind collisions are harmless (pairs are verified by the scorer).
+    """
+
+    KIND_SNM = 0
+    KIND_LSH = 1
+    KIND_EXACT = 2
+
+    def __init__(self, window, num_perm, num_bands, seed, exact_keys):
+        self.window = window
+        self.bands = BandEmitter(num_perm=num_perm, num_bands=num_bands, seed=seed)
+        self.exact_keys = exact_keys
+        self._key_memo: dict[tuple, int] = {}
+
+    def _k64(self, kind: int, payload: str) -> int:
+        memo = self._key_memo
+        k = (kind, payload)
+        h = memo.get(k)
+        if h is None:
+            h = int.from_bytes(
+                hashlib.blake2b(f"{kind}\x1f{payload}".encode(), digest_size=8).digest(),
+                "big",
+            )
+            if len(memo) >= 2_000_000:
+                memo.clear()
+            memo[k] = h
+        return h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        doc_ids = batch.column("doc_id").to_pylist()
+        snm_keys = batch.column("snm_key").to_pylist()
+        names = batch.column("norm_name").to_pylist()
+        exact_cols = {
+            c: batch.column(c).to_pylist()
+            for cols in self.exact_keys
+            for c in cols
+        }
+        out_key: list[int] = []
+        out_kind: list[int] = []
+        out_doc: list[str] = []
+        out_sort: list[str] = []
+
+        # SNM: first sorted token keys (windowed later, needs sort_key)
+        for i in range(n):
+            sk = snm_keys[i]
+            if sk:
+                first = sk.split(" ", 1)[0]
+                out_key.append(self._k64(self.KIND_SNM, first))
+                out_kind.append(self.KIND_SNM)
+                out_doc.append(doc_ids[i])
+                out_sort.append(sk)
+
+        # LSH bands (reuses BandEmitter's shingle-memoized minhash)
+        hash_lists = [
+            self.bands._hashes(nn) if nn else np.empty(0, dtype=np.uint64)
+            for nn in names
+        ]
+        sigs = minhash_signature_matrix(hash_lists, self.bands.a, self.bands.b)
+        for i in range(n):
+            if hash_lists[i].size == 0:
+                continue
+            for bk in band_keys(sigs[i], self.bands.num_bands, self.bands.rows_per_band):
+                out_key.append(bk)
+                out_kind.append(self.KIND_LSH)
+                out_doc.append(doc_ids[i])
+                out_sort.append("")
+
+        # exact keys (null-keyed rows excluded)
+        for ki, cols in enumerate(self.exact_keys):
+            col_lists = [exact_cols[c] for c in cols]
+            for i in range(n):
+                vals = [cl[i] for cl in col_lists]
+                if any(v is None or v == "" for v in vals):
+                    continue
+                payload = f"{ki}\x1f" + "\x1f".join(str(v) for v in vals)
+                out_key.append(self._k64(self.KIND_EXACT, payload))
+                out_kind.append(self.KIND_EXACT)
+                out_doc.append(doc_ids[i])
+                out_sort.append("")
+
+        key_arr = np.fromiter(out_key, dtype=np.uint64, count=len(out_key))
+        return pa.table(
+            {
+                "key64": pa.array(key_arr, pa.uint64()),
+                "kind": pa.array(out_kind, pa.int8()),
+                "doc_id": pa.array(out_doc, pa.string()),
+                "sort_key": pa.array(out_sort, pa.string()),
+            }
+        )
+
+
+def candidate_pairs(
+    entities,
+    window: int = 10,
+    num_perm: int = 32,
+    num_bands: int = 8,
+    seed: int = 42,
+    num_partitions: int | None = None,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    exact_keys: tuple[tuple[str, ...], ...] = (
+        ("norm_brand", "modelno"),
+        ("phone_norm",),
+        ("skeleton_key",),
+    ),
+    max_pairs_per_block: int = 20000,
+    snm_max_block_size: int = 5000,
+    concurrency: int | tuple | None = None,
+):
+    """All blocking passes fused: one key-emission actor pool, one bucketed
+    shuffle, per-bucket pair emission with in-bucket dedup, one final
+    cross-bucket pair dedup. Produces the same candidate set as
+    ``candidate_pairs_multi_pass`` (tested equal) with 2 shuffles instead
+    of 6."""
+    need_cols = ["doc_id", "norm_name", "snm_key"] + sorted(
+        {c for cols in exact_keys for c in cols}
+    )
+    keyed = entities.select_columns(need_cols).map_batches(
+        FusedKeyEmitter,
+        fn_constructor_args=(window, num_perm, num_bands, seed, exact_keys),
+        batch_format="pyarrow",
+        batch_size=4096,
+        # ~3/4 of the partition-implied cores: leaves room for the shuffle
+        # aggregators running concurrently (measured faster than a full-width
+        # pool at both 4 and 16 CPUs)
+        concurrency=concurrency or (1, max(2, (num_partitions or 8) * 3 // 4)),
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket", _u64_bucket(t.column("key64").combine_chunks(), num_buckets)
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        left: list = []
+        right: list = []
+        overflow = 0
+        for (key64, kind), g in df.groupby(["key64", "kind"], sort=False):
+            if kind == FusedKeyEmitter.KIND_SNM:
+                g = g.sort_values(["sort_key", "doc_id"])
+                ids = g["doc_id"].to_numpy()
+                if len(ids) > snm_max_block_size:
+                    overflow += len(ids) - snm_max_block_size
+                    ids = ids[:snm_max_block_size]
+                _emit_window(ids, window, left, right)
+            else:
+                ids = np.sort(g["doc_id"].unique())
+                overflow += _emit_capped(ids, max_pairs_per_block, left, right)
+        out = _pairs_frame(left, right, "fused", overflow)
+        return out.drop_duplicates(["left_id", "right_id"])
+
+    pairs = (
+        keyed.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket", num_partitions=num_partitions)
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    return dedup_pairs(pairs, num_buckets=num_buckets, num_partitions=num_partitions)

@@ -97,3 +97,9 @@ def test_emit_capped_small_block_is_exact():
     overflow = B._emit_capped([f"d{i}" for i in range(10)], 100, left, right)
     assert overflow == 0
     assert len(left) == 45
+
+
+def test_fused_equals_multi_pass(entities):
+    fused = _pair_set(B.candidate_pairs(entities, num_partitions=4))
+    multi = _pair_set(B.candidate_pairs_multi_pass(entities, num_partitions=4))
+    assert fused == multi
