@@ -476,6 +476,13 @@ def score_pairs(
     if join_strategy == "auto":
         join_strategy = "broadcast" if n_docs <= BROADCAST_MAX_DOCS else "shuffle"
 
+    # The candidate stream arrives in one coarse block per dedup partition;
+    # actor-pool tasks are block-granular, so a handful of huge blocks
+    # starves/imbalances the pool (observed: 18 tasks on a 12-actor pool,
+    # 2x wall). Split into fine-grained blocks first (no shuffle, cheap).
+    hi = concurrency[1] if isinstance(concurrency, tuple) else concurrency
+    pairs = pairs.repartition(max(64, 8 * int(hi or 8)))
+
     if join_strategy == "broadcast":
         feat_ref = ray.put(broadcast_features(entities))
         return pairs.select_columns(["left_id", "right_id"]).map_batches(
@@ -504,6 +511,9 @@ def score_pairs(
         on=("right_id",),
         right_on=("r_doc_id",),
     )
+    # join output is one block per join partition — split again so the
+    # scorer pool gets fine-grained, well-balanced tasks
+    joined = joined.repartition(max(64, 8 * int(hi or 8)))
     return joined.map_batches(
         PairScorer,
         fn_constructor_kwargs=dict(idf_ref=idf_ref, n_docs=n_docs, weights=weights),
