@@ -52,6 +52,7 @@ FEATURE_NAMES = [
     "name_contain",
     "name_tfidf",
     "name_num_jac",
+    "name_tfidf_contain",
     "brand_eq",
     "model_eq",
     "price_close",
@@ -82,6 +83,9 @@ DEFAULT_WEIGHTS = {
     # clusters; per-corpus calibration (pipelines/conformance.py) learns a
     # positive weight where model numbers are discriminative.
     "name_num_jac": 0.0,
+    # 0 by default for the same reason; per-corpus fits use it (robust to
+    # marketplace-title suffix tokens: dot against the SHORTER side's norm).
+    "name_tfidf_contain": 0.0,
     "brand_eq": 1.018,
     "model_eq": 1.628,
     "price_close": 1.643,
@@ -168,9 +172,9 @@ class _Side:
         self.norm = math.sqrt(sum(w * w for w in self.vec.values()))
 
 
-def _name_features(l: _Side, r: _Side, edit_memo: dict | None = None) -> tuple[float, float, float, float, float, float, float]:
-    """(jw, lev, jac, ng_jac, contain, tfidf, num_jac) between two cached
-    sides.
+def _name_features(l: _Side, r: _Side, edit_memo: dict | None = None) -> tuple[float, float, float, float, float, float, float, float]:
+    """(jw, lev, jac, ng_jac, contain, tfidf, num_jac, tfidf_contain)
+    between two cached sides.
     Must stay numerically identical to the uncached formulas in
     functions/similarity.py (the calibrated weights depend on it)."""
     sl, sr = l.tok_set, r.tok_set
@@ -202,10 +206,13 @@ def _name_features(l: _Side, r: _Side, edit_memo: dict | None = None) -> tuple[f
         num_jac = ninter2 / (len(nl) + len(nr) - ninter2)
     if l.norm == 0.0 or r.norm == 0.0:
         tfidf = 1.0 if (not sl and not sr) else 0.0
+        tfidf_contain = tfidf
     else:
         a, b = (l.vec, r.vec) if len(l.vec) <= len(r.vec) else (r.vec, l.vec)
         dot = sum(w * b[t] for t, w in a.items() if t in b)
         tfidf = dot / (l.norm * r.norm)
+        mn = min(l.norm, r.norm)
+        tfidf_contain = min(1.0, dot / (mn * mn))
     if jac < CHEAP_REJECT_JAC and ng < CHEAP_REJECT_JAC and tfidf < CHEAP_REJECT_TFIDF:
         jw = lev = ng
     elif edit_memo is not None:
@@ -223,7 +230,7 @@ def _name_features(l: _Side, r: _Side, edit_memo: dict | None = None) -> tuple[f
     else:
         jw = S.jaro_winkler(l.capped, r.capped)
         lev = S.levenshtein_ratio(l.capped, r.capped)
-    return jw, lev, jac, ng, contain, tfidf, num_jac
+    return jw, lev, jac, ng, contain, tfidf, num_jac, tfidf_contain
 
 
 _AUX_COLUMNS = [
@@ -272,10 +279,10 @@ def _aux_features(left: dict, right: dict) -> list[float]:
 def compute_pair_features(left: dict, right: dict, idf: dict[str, float], default_idf: float) -> list[float]:
     """One candidate pair -> feature vector (FEATURE_NAMES order)."""
     ln, rn = left["norm_name"] or "", right["norm_name"] or ""
-    jw, lev, name_jac, name_ng, contain, tfidf, num_jac = _name_features(
+    jw, lev, name_jac, name_ng, contain, tfidf, num_jac, tfc = _name_features(
         _Side(ln, idf, default_idf), _Side(rn, idf, default_idf)
     )
-    return [jw, lev, name_jac, name_ng, contain, tfidf, num_jac] + _aux_features(left, right)
+    return [jw, lev, name_jac, name_ng, contain, tfidf, num_jac, tfc] + _aux_features(left, right)
 
 
 class PairScorer:
@@ -334,7 +341,7 @@ class PairScorer:
         for i in range(n):
             ls = side(_none_if_na(lnames[i]))
             rs = side(_none_if_na(rnames[i]))
-            feats[i, 0:7] = _name_features(ls, rs, memo)
+            feats[i, 0:8] = _name_features(ls, rs, memo)
 
         # --- exact-agreement aux features: fully vectorized --------------
         def eq_feature(col: str) -> np.ndarray:
