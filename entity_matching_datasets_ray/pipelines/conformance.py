@@ -46,6 +46,8 @@ FIELD_MAPS: dict[str, dict[str, str]] = {
     "walmart": {"name": "title", "brand": "brand", "modelno": "modelno", "category": "category", "price": "price"},
     "Amazon": {"name": "title", "brand": "manufacturer", "price": "price"},
     "DBLACM": {"name": "title", "authors": "authors", "venue": "venue", "year": "year"},
+    "camers": {"name": "title"},
+    "computer": {"name": "title"},
 }
 
 
