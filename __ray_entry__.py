@@ -323,11 +323,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # exact int64-cent accumulation on both sides: order-independent,
+        # bit-stable vs Ray's partial-aggregate combine order.
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(l_quantity) AS sum_qty,
-                   sum(l_extendedprice) AS sum_base_price,
-                   sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_base_price,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) / 10000.0 AS sum_disc_price,
                    count(*) AS count_order
             FROM lineitem
             GROUP BY l_returnflag, l_linestatus
@@ -341,7 +344,8 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "revenue_by_nation": """
-            SELECT n_name, sum(o_totalprice) AS revenue
+            SELECT n_name,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS revenue
             FROM orders
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
@@ -351,7 +355,7 @@ def oracle_sql() -> dict[str, str]:
         "segment_counts": """
             SELECT c_mktsegment,
                    count(*) AS n_customers,
-                   sum(c_acctbal) AS sum_acctbal
+                   CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_acctbal
             FROM customer
             GROUP BY c_mktsegment
             ORDER BY c_mktsegment
@@ -360,7 +364,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    date_trunc('hour', ts) AS ts_hour,
                    count(*) AS n_events,
-                   sum(value) AS sum_value
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
             FROM events
             GROUP BY event_type, date_trunc('hour', ts)
             ORDER BY event_type, ts_hour
@@ -368,7 +372,7 @@ def oracle_sql() -> dict[str, str]:
         "part_type_stats": """
             SELECT p_type,
                    count(*) AS n_parts,
-                   sum(p_retailprice) AS sum_price,
+                   CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_price,
                    min(p_size) AS min_size,
                    max(p_size) AS max_size
             FROM part

@@ -23,11 +23,30 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _cents(col, scale: float = 100.0) -> pa.Array:
+    """Currency column -> exact int64 units (cents by default).
+
+    Float summation is order-dependent: Ray's partial-aggregate combine
+    order differs from any serial oracle, and at ~1e8 magnitudes the drift
+    exceeds value-hash precision (CORRECTNESS_r01 pricing_summary). The
+    driver's currency columns are cent-quantized, so summing int64 cents
+    and dividing once at the end is bit-stable and order-independent —
+    identical to the oracle SQL doing the same. The boundary-free rounding
+    (values sit ~1e-6 from a half, never on it) makes half-even (Arrow /
+    Python) vs half-away (DuckDB) moot.
+    """
+    return pc.cast(pc.round(pc.multiply(col, pa.scalar(scale))), pa.int64())
+
+
+def _div_f64(col, scale: float) -> pa.Array:
+    return pc.divide(pc.cast(col, pa.float64()), pa.scalar(scale))
+
+
 def q_pricing_summary(sf_dir: str):
     """TPC-H Q1-style pricing summary over lineitem.
 
-    Partial per-batch aggregation happens inside Ray's hash aggregate; we
-    feed it a vectorized projection (revenue column computed per batch).
+    Partial per-batch aggregation happens inside Ray's hash aggregate over
+    exact int64 cent units (see ``_cents``); one float division at the end.
     """
     ds = _read(
         sf_dir,
@@ -36,20 +55,46 @@ def q_pricing_summary(sf_dir: str):
     )
 
     def project(t: pa.Table) -> pa.Table:
-        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return t.append_column("revenue", rev)
+        price_c = _cents(t["l_extendedprice"])
+        disc_c = _cents(t["l_discount"])
+        # revenue in 1e-4 units: cents x (100 - discount_cents)
+        rev_u = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty_c": _cents(t["l_quantity"]),
+                "price_c": price_c,
+                "rev_u": rev_u,
+            }
+        )
 
-    out = (
+    agg = (
         ds.map_batches(project, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("revenue", alias_name="sum_disc_price"),
+            Sum("qty_c", alias_name="sum_qty_c"),
+            Sum("price_c", alias_name="sum_price_c"),
+            Sum("rev_u", alias_name="sum_rev_u"),
             Count(alias_name="count_order"),
         )
     )
-    return out.sort(["l_returnflag", "l_linestatus"])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": _div_f64(t["sum_qty_c"], 100.0),
+                "sum_base_price": _div_f64(t["sum_price_c"], 100.0),
+                "sum_disc_price": _div_f64(t["sum_rev_u"], 10000.0),
+                "count_order": t["count_order"],
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow").sort(
+        ["l_returnflag", "l_linestatus"]
+    )
 
 
 def q_top_orders(sf_dir: str):
@@ -63,8 +108,14 @@ def q_top_orders(sf_dir: str):
 
 
 def q_revenue_by_nation(sf_dir: str):
-    """Hash join (orders x customer) + join to nation + grouped sum."""
-    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    """Hash join (orders x customer) + join to nation + grouped sum
+    (exact int64 cents, see ``_cents``)."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: pa.table(
+            {"o_custkey": t["o_custkey"], "price_c": _cents(t["o_totalprice"])}
+        ),
+        batch_format="pyarrow",
+    )
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).map_batches(
         lambda t: t.set_column(
@@ -77,19 +128,41 @@ def q_revenue_by_nation(sf_dir: str):
     j = orders.join(cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",))
     # the hash-aggregate widens the int32 key to int64; nation side is cast
     # above so the join keys line up.
-    agg = j.groupby("c_nationkey").aggregate(Sum("o_totalprice", alias_name="revenue"))
+    agg = j.groupby("c_nationkey").aggregate(Sum("price_c", alias_name="rev_c"))
     out = agg.join(nation, join_type="inner", num_partitions=4, on=("c_nationkey",), right_on=("n_nationkey",))
-    return out.select_columns(["n_name", "revenue"]).sort("n_name")
+    return (
+        out.map_batches(
+            lambda t: pa.table(
+                {"n_name": t["n_name"], "revenue": _div_f64(t["rev_c"], 100.0)}
+            ),
+            batch_format="pyarrow",
+        )
+        .sort("n_name")
+    )
 
 
 def q_segment_counts(sf_dir: str):
-    """Grouped count + avg over customer segments."""
-    ds = _read(sf_dir, "customer", ["c_mktsegment", "c_acctbal"])
+    """Grouped count + exact cent sum over customer segments."""
+    ds = _read(sf_dir, "customer", ["c_mktsegment", "c_acctbal"]).map_batches(
+        lambda t: pa.table(
+            {"c_mktsegment": t["c_mktsegment"], "bal_c": _cents(t["c_acctbal"])}
+        ),
+        batch_format="pyarrow",
+    )
     out = ds.groupby("c_mktsegment").aggregate(
         Count(alias_name="n_customers"),
-        Sum("c_acctbal", alias_name="sum_acctbal"),
+        Sum("bal_c", alias_name="bal_c"),
     )
-    return out.sort("c_mktsegment")
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "c_mktsegment": t["c_mktsegment"],
+                "n_customers": t["n_customers"],
+                "sum_acctbal": _div_f64(t["bal_c"], 100.0),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort("c_mktsegment")
 
 
 def q_events_hourly(sf_dir: str):
@@ -104,26 +177,52 @@ def q_events_hourly(sf_dir: str):
     def bucket(t: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(t["ts"], unit="hour")
         return pa.table(
-            {"event_type": t["event_type"], "ts_hour": hour, "value": t["value"]}
+            {"event_type": t["event_type"], "ts_hour": hour, "value_c": _cents(t["value"])}
         )
 
     out = (
         ds.map_batches(bucket, batch_format="pyarrow")
         .groupby(["event_type", "ts_hour"])
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .aggregate(Count(alias_name="n_events"), Sum("value_c", alias_name="value_c"))
     )
-    return out.sort(["event_type", "ts_hour"])
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t["event_type"],
+                "ts_hour": t["ts_hour"],
+                "n_events": t["n_events"],
+                "sum_value": _div_f64(t["value_c"], 100.0),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort(["event_type", "ts_hour"])
 
 
 def q_part_type_stats(sf_dir: str):
-    ds = _read(sf_dir, "part", ["p_type", "p_retailprice", "p_size"])
+    ds = _read(sf_dir, "part", ["p_type", "p_retailprice", "p_size"]).map_batches(
+        lambda t: pa.table(
+            {"p_type": t["p_type"], "price_c": _cents(t["p_retailprice"]), "p_size": t["p_size"]}
+        ),
+        batch_format="pyarrow",
+    )
     out = ds.groupby("p_type").aggregate(
         Count(alias_name="n_parts"),
-        Sum("p_retailprice", alias_name="sum_price"),
+        Sum("price_c", alias_name="price_c"),
         Min("p_size", alias_name="min_size"),
         Max("p_size", alias_name="max_size"),
     )
-    return out.sort("p_type")
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "p_type": t["p_type"],
+                "n_parts": t["n_parts"],
+                "sum_price": _div_f64(t["price_c"], 100.0),
+                "min_size": t["min_size"],
+                "max_size": t["max_size"],
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort("p_type")
 
 
 def q_distinct_langs(sf_dir: str):
@@ -167,39 +266,81 @@ def q_top_orders_per_segment(sf_dir: str):
     )
 
 
-def q_customers_without_orders(sf_dir: str):
-    """Anti-join via broadcast key set: customers with no order above
-    $300k.
+# Above this many distinct keys the anti-join's "small" side is no longer
+# broadcastable (mirrors scoring.BROADCAST_MAX_DOCS) and the shuffle
+# left-anti path is used instead.
+ANTI_BROADCAST_MAX_KEYS = 1_000_000
 
-    The filtered small side's key set is collected once and shipped to
-    every batch (``ray.put``) — the broadcast semi/anti-join pattern; no
-    shuffle.
+
+def anti_join(left, right_keys, on: str, right_on: str, max_broadcast_keys: int = ANTI_BROADCAST_MAX_KEYS, num_partitions: int = 8):
+    """left rows whose ``on`` value appears nowhere in ``right_keys``.
+
+    Adaptive: collect + broadcast the key set when it is small (zero
+    shuffle); fall back to a partitioned left-outer join + null filter when
+    the collected set would blow the driver/worker heap. The guard is a
+    hard count on the collected set, not a heuristic.
     """
     import ray
 
-    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
-        lambda t: t.filter(pc.greater(t["o_totalprice"], pa.scalar(300000.0))),
+    keys: set = set()
+    broadcast_ok = True
+    for b in right_keys.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        keys.update(b[right_on].to_pylist())
+        if len(keys) > max_broadcast_keys:
+            broadcast_ok = False
+            break
+
+    if broadcast_ok:
+        keys_ref = ray.put(keys)
+
+        class AntiFilter:
+            def __init__(self):
+                self.keys = ray.get(keys_ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                ids = t.column(on).to_pylist()
+                mask = pa.array([i not in self.keys for i in ids], pa.bool_())
+                return t.filter(mask)
+
+        return left.map_batches(AntiFilter, batch_format="pyarrow", concurrency=(1, 2))
+
+    # shuffle path: distinct right keys -> left_outer join -> keep nulls
+    from ray.data.aggregate import Count as _Count
+
+    marker = "__anti_marker"
+    distinct = right_keys.groupby(right_on, num_partitions=num_partitions).aggregate(
+        _Count(alias_name=marker)
+    )
+    # the hash-aggregate widens int keys; re-cast to the left side's dtype
+    # so the join keys line up (learned gotcha: int32/int64 mismatch).
+    left_type = left.schema().base_schema.field(on).type
+    distinct = distinct.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index(right_on), right_on, pc.cast(t[right_on], left_type)
+        ),
         batch_format="pyarrow",
     )
-    keys = set()
-    for b in orders.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        keys.update(b["o_custkey"].to_pylist())
-    keys_ref = ray.put(keys)
-
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
-
-    class AntiFilter:
-        def __init__(self):
-            self.keys = ray.get(keys_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids = t.column("c_custkey").to_pylist()
-            mask = pa.array([i not in self.keys for i in ids], pa.bool_())
-            return t.filter(mask)
-
-    return cust.map_batches(AntiFilter, batch_format="pyarrow", concurrency=(1, 2)).sort(
-        "c_custkey"
+    joined = left.join(
+        distinct, join_type="left_outer", num_partitions=num_partitions,
+        on=(on,), right_on=(right_on,),
     )
+    return joined.map_batches(
+        lambda t: t.filter(pc.is_null(t[marker])).drop_columns([marker]),
+        batch_format="pyarrow",
+    )
+
+
+def q_customers_without_orders(sf_dir: str):
+    """Anti-join: customers with no order above $300k (adaptive broadcast /
+    shuffle, see ``anti_join``)."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], pa.scalar(300000.0))).select(
+            ["o_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    return anti_join(cust, orders, on="c_custkey", right_on="o_custkey").sort("c_custkey")
 
 
 def q_lineitem_filter_project(sf_dir: str):

@@ -1,0 +1,48 @@
+"""Relational operator tests that don't need the DuckDB oracle harness:
+adaptive anti-join (broadcast vs shuffle equality) and exact cent sums."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from entity_matching_datasets_ray.pipelines.relational import _cents, anti_join
+
+
+def _tables():
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 2, 3, 4, 5, 6], pa.int32()),
+                "name": [f"n{i}" for i in range(6)],
+            }
+        )
+    )
+    right = rd.from_arrow(
+        pa.table({"rk": pa.array([2, 2, 4, 9], pa.int32())})
+    )
+    return left, right
+
+
+def test_anti_join_broadcast():
+    left, right = _tables()
+    out = anti_join(left, right, on="k", right_on="rk").to_pandas().sort_values("k")
+    assert out["k"].tolist() == [1, 3, 5, 6]
+
+
+def test_anti_join_shuffle_matches_broadcast():
+    left, right = _tables()
+    # force the shuffle fallback with a tiny broadcast cap
+    out = (
+        anti_join(left, right, on="k", right_on="rk", max_broadcast_keys=1)
+        .to_pandas()
+        .sort_values("k")
+    )
+    assert out["k"].tolist() == [1, 3, 5, 6]
+    assert list(out.columns) == ["k", "name"]
+
+
+def test_cents_exact():
+    t = pa.table({"x": pa.array([1013.7, -994.28, 0.01, 104997.88])})
+    assert _cents(t["x"]).to_pylist() == [101370, -99428, 1, 10499788]

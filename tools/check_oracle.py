@@ -33,8 +33,6 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     df = df.sort_values(list(df.columns)).reset_index(drop=True)
     for c in df.columns:
-        if df[c].dtype == np.float64 or df[c].dtype == np.float32:
-            df[c] = df[c].round(6)
         # normalize int widths
         if str(df[c].dtype).startswith(("int", "uint")):
             df[c] = df[c].astype("int64")
@@ -81,10 +79,21 @@ def main():
         elif len(got) != len(want):
             status = f"ROWS got={len(got)} want={len(want)}"
         else:
+            # effectively-exact: last-bit float noise only. The driver's
+            # value-hash precision is unknown, so every oracle query is
+            # engineered to be bit-stable (exact int accumulation, same-op-
+            # order scalar float expressions) and checked here at 1e-12 —
+            # stricter than any plausible driver hash (r01 lesson: a loose
+            # local harness reported OK where the driver hashed a mismatch).
             try:
-                pd.testing.assert_frame_equal(got, want, check_dtype=False, rtol=1e-6, atol=1e-6)
+                pd.testing.assert_frame_equal(got, want, check_dtype=False, rtol=1e-12, atol=1e-12)
             except AssertionError as e:
                 status = "VALUES " + str(e).splitlines()[0]
+                for c in got.columns:
+                    if got[c].dtype.kind == "f":
+                        d = np.nanmax(np.abs(got[c].to_numpy() - want[c].to_numpy()))
+                        if d > 0:
+                            status += f" [max|Δ {c}|={d:.3g}]"
         print(f"{name}: {status} ({len(got)} rows, {el:.1f}s)")
     ray.shutdown()
 
