@@ -77,7 +77,75 @@ def _simhash_pairs_documents(sf_dir: str):
     from entity_matching_datasets_ray.stages.dedup import simhash_dedup_pairs
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return simhash_dedup_pairs(ds, max_hamming=3).sort(["left_id", "right_id"])
+    return (
+        simhash_dedup_pairs(ds, max_hamming=3)
+        .select_columns(["left_id", "right_id"])
+        .sort(["left_id", "right_id"])
+    )
+
+
+def _dedup_planted(sf_dir: str, mode: str):
+    """Planted-duplicate fixture (synth.planted_dup_docs): expected pair
+    set is exactly {(doc_id, doc_id + 1e6)} — the SQL oracle derives it
+    from the id column, making the full shingle->signature->band->bucket->
+    verify path oracle-checked for recall AND precision."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from entity_matching_datasets_ray.stages.dedup import (
+        minhash_dedup_pairs,
+        simhash_dedup_pairs,
+    )
+    from entity_matching_datasets_ray.synth import planted_dup_docs
+
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    fixture = planted_dup_docs(ids, mode=mode)
+    if mode == "minhash":
+        pairs = minhash_dedup_pairs(fixture, threshold=0.8)
+    else:
+        pairs = simhash_dedup_pairs(fixture, max_hamming=3)
+    # bands/chunks can emit the same pair via several buckets
+    return (
+        pairs.groupby(["left_id", "right_id"])
+        .aggregate(Count(alias_name="n_src"))
+        .select_columns(["left_id", "right_id"])
+        .sort(["left_id", "right_id"])
+    )
+
+
+def _minhash_planted_pairs(sf_dir: str):
+    return _dedup_planted(sf_dir, "minhash")
+
+
+def _simhash_planted_pairs(sf_dir: str):
+    return _dedup_planted(sf_dir, "simhash")
+
+
+def _fingerprint_dedup_documents(sf_dir: str):
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.stages.dedup import fingerprint_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return fingerprint_dedup(ds).sort("doc_id")
+
+
+def _eval_log_confusion(sf_dir: str):
+    """Confusion rollup over the reference's own matcher-eval log
+    (datamodel/test_textual_log.tsv — the reference's correctness
+    currency, SURVEY.md §5), SQL-oracled over the same TSV."""
+    import os
+
+    import pandas as pd
+
+    from entity_matching_datasets_ray.pipelines.evaluate import confusion_f1
+    from entity_matching_datasets_ray.sources.ditto import read_eval_log
+
+    path = "/root/reference/datamodel/test_textual_log.tsv"
+    if not os.path.exists(path):
+        return pd.DataFrame(columns=["tp", "fp", "fn", "tn"])
+    m = confusion_f1(read_eval_log(path))
+    return pd.DataFrame([{"tp": m["tp"], "fp": m["fp"], "fn": m["fn"], "tn": m["tn"]}])
 
 
 def _embedding_dedup_pairs(sf_dir: str):
@@ -301,8 +369,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_segment": R.q_top_orders_per_segment,
         "customers_without_orders": R.q_customers_without_orders,
         "exact_dedup_documents": _exact_dedup_documents,
+        "fingerprint_dedup_documents": _fingerprint_dedup_documents,
         "token_counts_documents": _token_counts_documents,
         "confusion_eval": _confusion_eval,
+        "eval_log_confusion": _eval_log_confusion,
+        "minhash_planted_pairs": _minhash_planted_pairs,
+        "simhash_planted_pairs": _simhash_planted_pairs,
         # linkage + training-data ops (rows-only)
         "linkage_clusters": _linkage_clusters,
         "linkage_synth_f1": _linkage_synth_f1,
@@ -441,5 +513,129 @@ def oracle_sql() -> dict[str, str]:
               CAST(sum(CASE WHEN doc_id % 2 = 1 AND doc_id % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
               CAST(sum(CASE WHEN doc_id % 2 = 0 AND doc_id % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
             FROM documents
+        """,
+        # the reference's own matcher-eval log, rolled up the same way
+        "eval_log_confusion": """
+            SELECT
+              CAST(sum(CASE WHEN gold = 1 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+              CAST(sum(CASE WHEN gold = 0 AND pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+              CAST(sum(CASE WHEN gold = 1 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+              CAST(sum(CASE WHEN gold = 0 AND pred = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+            FROM read_csv('/root/reference/datamodel/test_textual_log.tsv',
+                          delim='\t', header=true, quote='')
+        """,
+        # token-sequence fingerprint groups == normalized-token-sequence
+        # groups (64-bit rolling hash; collision-free at this scale)
+        "fingerprint_dedup_documents": """
+            SELECT min(doc_id) AS doc_id
+            FROM documents
+            GROUP BY array_to_string(
+                list_filter(string_split(lower(text), ' '), x -> x <> ''), ' ')
+            ORDER BY doc_id
+        """,
+        # planted-duplicate fixtures: expected pair set derives from ids
+        "minhash_planted_pairs": """
+            SELECT doc_id AS left_id, doc_id + 1000000 AS right_id
+            FROM documents ORDER BY left_id, right_id
+        """,
+        "simhash_planted_pairs": """
+            SELECT doc_id AS left_id, doc_id + 1000000 AS right_id
+            FROM documents ORDER BY left_id, right_id
+        """,
+        "embedding_dedup_pairs": """
+            SELECT vec_id AS left_id, vec_id + 1000000 AS right_id
+            FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 20)
+            ORDER BY left_id, right_id
+        """,
+        "ann_bruteforce": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings ORDER BY vec_id LIMIT 5
+            ), scored AS (
+                SELECT query_id, e.vec_id AS match_id,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY list_cosine_similarity(qe, e.embedding) DESC,
+                                    e.vec_id
+                       ) AS rn
+                FROM q CROSS JOIN embeddings e
+            )
+            SELECT query_id, match_id FROM scored WHERE rn <= 10
+            ORDER BY query_id, match_id
+        """,
+        "media_features": """
+            SELECT 'doc:' || lpad(CAST(doc_id AS VARCHAR), 10, '0') AS doc_id,
+                   'image' AS kind,
+                   'synthetic://img/' || source || '/' || CAST(doc_id AS VARCHAR) AS media_ref
+            FROM documents
+            ORDER BY doc_id
+        """,
+        # language-ID stopword vote + C4/Gopher-style quality score,
+        # expressed over the same word extraction the kernel uses
+        # (functions/text.py; first-max-wins tie rule preserved)
+        "langid_histogram": """
+            SELECT lang_pred, count(*) AS n FROM (
+              SELECT CASE WHEN greatest(en, de, fr, es, it) = 0 THEN 'und'
+                          WHEN en = greatest(en, de, fr, es, it) THEN 'en'
+                          WHEN de = greatest(en, de, fr, es, it) THEN 'de'
+                          WHEN fr = greatest(en, de, fr, es, it) THEN 'fr'
+                          WHEN es = greatest(en, de, fr, es, it) THEN 'es'
+                          ELSE 'it' END AS lang_pred
+              FROM (
+                SELECT
+                  len(list_filter(ws, w -> w IN ('the','and','of','to','a','in','is','that','it','for','was','with'))) AS en,
+                  len(list_filter(ws, w -> w IN ('der','die','das','und','ist','nicht','ein','eine','zu','mit','von'))) AS de,
+                  len(list_filter(ws, w -> w IN ('le','la','les','et','est','une','un','pas','pour','que','dans'))) AS fr,
+                  len(list_filter(ws, w -> w IN ('el','la','los','las','y','es','un','una','que','por','con','para'))) AS es,
+                  len(list_filter(ws, w -> w IN ('il','la','che','di','e','un','una','per','non','sono','con'))) AS it
+                FROM (
+                  SELECT list_transform(
+                      regexp_extract_all(substr(text, 1, 2000), '[a-zA-Z]+'),
+                      w -> lower(w)) AS ws
+                  FROM documents
+                )
+              )
+            )
+            GROUP BY lang_pred ORDER BY lang_pred
+        """,
+        "annotate_documents": """
+            SELECT doc_id,
+                   CASE WHEN greatest(en, de, fr, es, it) = 0 THEN 'und'
+                        WHEN en = greatest(en, de, fr, es, it) THEN 'en'
+                        WHEN de = greatest(en, de, fr, es, it) THEN 'de'
+                        WHEN fr = greatest(en, de, fr, es, it) THEN 'fr'
+                        WHEN es = greatest(en, de, fr, es, it) THEN 'es'
+                        ELSE 'it' END AS lang_pred,
+                   n_words AS n_tokens_ws,
+                   n_words AS n_tokens_bpe,
+                   least(1.0, greatest(0.0,
+                       CASE WHEN n_words >= 5 THEN 0.25 ELSE 0.0 END
+                       + CASE WHEN n_words > 0
+                              AND n_alpha / CAST(n_words AS DOUBLE) >= 3.0
+                              AND n_alpha / CAST(n_words AS DOUBLE) <= 10.0
+                              THEN 0.25 ELSE 0.0 END
+                       + 0.25 * least(1.0,
+                            (CASE WHEN n_words > 0
+                                  THEN stops / CAST(n_words AS DOUBLE)
+                                  ELSE 0.0 END) / 0.1)
+                       + 0.25 * (n_alpha / CAST(n AS DOUBLE))
+                   )) AS quality_score
+            FROM (
+              SELECT doc_id, n, n_alpha, len(ws) AS n_words,
+                len(list_filter(ws, w -> w IN ('the','and','of','to','a','in','is','that','it','for','was','with'))) AS stops,
+                len(list_filter(ws, w -> w IN ('the','and','of','to','a','in','is','that','it','for','was','with'))) AS en,
+                len(list_filter(ws, w -> w IN ('der','die','das','und','ist','nicht','ein','eine','zu','mit','von'))) AS de,
+                len(list_filter(ws, w -> w IN ('le','la','les','et','est','une','un','pas','pour','que','dans'))) AS fr,
+                len(list_filter(ws, w -> w IN ('el','la','los','las','y','es','un','una','que','por','con','para'))) AS es,
+                len(list_filter(ws, w -> w IN ('il','la','che','di','e','un','una','per','non','sono','con'))) AS it
+              FROM (
+                SELECT doc_id, length(text) AS n,
+                       length(replace(text, ' ', '')) AS n_alpha,
+                       list_transform(regexp_extract_all(text, '[a-zA-Z]+'),
+                                      w -> lower(w)) AS ws
+                FROM documents
+              )
+            )
+            ORDER BY doc_id
         """,
     }

@@ -60,18 +60,12 @@ _HASH_SEED = np.uint64(0x9E3779B97F4A7C15)
 
 
 def _str_bucket(values: list, num_buckets: int) -> pa.Array:
-    lut: dict[str, int] = {}
-    out = np.empty(len(values), dtype=np.int32)
-    for i, v in enumerate(values):
-        b = lut.get(v)
-        if b is None:
-            b = (
-                int.from_bytes(hashlib.blake2b(v.encode(), digest_size=8).digest(), "big")
-                % num_buckets
-            )
-            lut[v] = b
-        out[i] = b
-    return pa.array(out, pa.int32())
+    """Vectorized deterministic bucket assignment over string keys (pandas
+    siphash with its fixed default key — stable across workers)."""
+    h = pd.util.hash_pandas_object(pd.Series(values, dtype=object), index=False).to_numpy(
+        dtype=np.uint64
+    )
+    return pa.array((h % np.uint64(num_buckets)).astype(np.int32), pa.int32())
 
 
 def _u64_bucket(arr: pa.Array, num_buckets: int) -> pa.Array:
@@ -372,19 +366,9 @@ def dedup_pairs(pairs, num_buckets: int = DEFAULT_NUM_BUCKETS, num_partitions: i
     """
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        l = t.column("left_id").to_pylist()
-        r = t.column("right_id").to_pylist()
-        b = np.fromiter(
-            (
-                int.from_bytes(
-                    hashlib.blake2b(f"{a}\x1f{c}".encode(), digest_size=8).digest(), "big"
-                )
-                % num_buckets
-                for a, c in zip(l, r)
-            ),
-            dtype=np.int32,
-            count=len(l),
-        )
+        df = t.select(["left_id", "right_id"]).to_pandas()
+        h = pd.util.hash_pandas_object(df, index=False).to_numpy(dtype=np.uint64)
+        b = (h % np.uint64(num_buckets)).astype(np.int32)
         return t.append_column("bucket", pa.array(b, pa.int32()))
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:

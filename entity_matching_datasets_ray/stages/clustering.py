@@ -24,8 +24,6 @@ Scale notes:
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -35,33 +33,37 @@ DEFAULT_NUM_BUCKETS = 64
 
 
 def _bucket_series(values: pd.Series, num_buckets: int) -> np.ndarray:
-    lut: dict[str, int] = {}
-    out = np.empty(len(values), dtype=np.int32)
-    for i, v in enumerate(values):
-        b = lut.get(v)
-        if b is None:
-            b = (
-                int.from_bytes(hashlib.blake2b(v.encode(), digest_size=8).digest(), "big")
-                % num_buckets
-            )
-            lut[v] = b
-        out[i] = b
-    return out
+    """Vectorized deterministic bucket assignment (pandas siphash with the
+    library's fixed default key — stable across processes/workers)."""
+    h = pd.util.hash_pandas_object(values, index=False).to_numpy(dtype=np.uint64)
+    return (h % np.uint64(num_buckets)).astype(np.int32)
 
 
-def _edges_checksum(edges) -> int:
+def _edges_checksum(edges) -> tuple[int, int]:
+    """Order-independent (count, wrap-sum-of-row-hashes) over the edge set.
+
+    Vectorized per batch (one ``hash_pandas_object`` call — was a per-row
+    blake2b Python loop, VERDICT r01 item 5). Sum (mod 2^64) + count is
+    commutative across any batch/partition order and, unlike XOR, doesn't
+    cancel duplicate rows.
+    """
+
     def per_batch(t: pa.Table) -> pa.Table:
-        acc = 0
-        for a, b in zip(t.column("big").to_pylist(), t.column("small").to_pylist()):
-            h = hashlib.blake2b(f"{a}\x1f{b}".encode(), digest_size=8).digest()
-            acc ^= int.from_bytes(h, "big")
-        return pa.table({"checksum": pa.array([acc], pa.uint64())})
+        df = t.select(["big", "small"]).to_pandas()
+        h = pd.util.hash_pandas_object(df, index=False).to_numpy(dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            s = np.sum(h, dtype=np.uint64)
+        return pa.table(
+            {
+                "n": pa.array([len(h)], pa.int64()),
+                "s": pa.array([int(s)], pa.uint64()),
+            }
+        )
 
     parts = edges.map_batches(per_batch, batch_format="pyarrow").to_pandas()
-    acc = 0
-    for v in parts["checksum"]:
-        acc ^= int(v)
-    return acc
+    with np.errstate(over="ignore"):
+        total = int(np.sum(parts["s"].to_numpy(dtype=np.uint64), dtype=np.uint64))
+    return int(parts["n"].sum()), total
 
 
 def _large_star(edges, num_buckets: int, num_partitions: int | None):

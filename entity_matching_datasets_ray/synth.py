@@ -335,3 +335,52 @@ def synth_docs_dataset(n_entities: int, seed: int = 42, parallelism: int = -1):
         batch_format="numpy",
         batch_size=4096,
     )
+
+
+PLANTED_ID_OFFSET = 1_000_000
+
+
+def planted_dup_docs(ids_ds, id_col: str = "doc_id", mode: str = "minhash", n_tokens: int = 30):
+    """Deterministic near-dup fixture over an id column: for each id, a
+    base document of hash-derived 16-hex-char tokens (pure function of the
+    id — mutually near-disjoint shingle sets across ids) plus a planted
+    near-duplicate at ``id + PLANTED_ID_OFFSET``.
+
+    - ``mode="minhash"``: the duplicate drops the last token (char-shingle
+      Jaccard ~ (n-1)/n, well above any sane near-dup threshold).
+    - ``mode="simhash"``: the duplicate reverses token order (identical
+      token bag -> identical simhash, Hamming distance 0).
+
+    The expected verified pair set is therefore exactly
+    ``{(id, id + PLANTED_ID_OFFSET)}`` — SQL-derivable from the id column
+    alone, which makes dedup operators oracle-checkable end to end
+    (shingle -> signature -> band -> bucket -> verify) with zero tolerance
+    for false positives among the mutually-distinct base docs.
+
+    Built as a streaming ``map_batches`` over the id column (scales with
+    the input; nothing is materialized on the driver).
+    """
+    if mode not in ("minhash", "simhash"):
+        raise ValueError(mode)
+
+    def gen(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        out_ids: list[int] = []
+        out_text: list[str] = []
+        for i in ids:
+            toks = [f"{hash64(f'{i}:{j}'):016x}" for j in range(n_tokens)]
+            out_ids.append(i)
+            out_text.append(" ".join(toks))
+            out_ids.append(i + PLANTED_ID_OFFSET)
+            if mode == "minhash":
+                out_text.append(" ".join(toks[:-1]))
+            else:
+                out_text.append(" ".join(reversed(toks)))
+        return pa.table(
+            {
+                id_col: pa.array(out_ids, pa.int64()),
+                "text": pa.array(out_text, pa.string()),
+            }
+        )
+
+    return ids_ds.select_columns([id_col]).map_batches(gen, batch_format="pyarrow")

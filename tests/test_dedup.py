@@ -105,3 +105,90 @@ def test_embedding_dedup_pairs():
     hits = sum((i, 100 + i) in found for i in range(10))
     assert hits >= 8  # LSH multi-probe recall
     assert (pairs.cosine >= 0.999).all()
+
+
+def test_popcount64():
+    xs = np.array([0, 1, 3, 0xFFFFFFFFFFFFFFFF, 0x8000000000000001], dtype=np.uint64)
+    assert D._popcount64(xs).tolist() == [0, 1, 2, 64, 2]
+
+
+def test_band_candidates_metered_not_silent():
+    """A hot band must emit capped pairs WITH an overflow count, and every
+    member must stay reachable (star pattern) for downstream components."""
+    n = 60
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(n)), pa.int64()),
+                # identical text -> every doc lands in every band together
+                "text": pa.array(["same text for everyone here"] * n, pa.string()),
+            }
+        )
+    )
+    cands = D.minhash_candidate_pairs(ds, num_partitions=2, max_pairs_per_block=100).to_pandas()
+    total_possible = n * (n - 1) // 2
+    assert len(cands) < total_possible
+    assert cands["overflow"].max() > 0  # metered, not silent
+    # star keeps everyone connected to the min id
+    hub_pairs = set(zip(cands.left_id, cands.right_id))
+    for i in range(1, n):
+        assert (0, i) in hub_pairs
+
+
+def test_jaccard_verify_broadcast_equals_shuffle(text_ds):
+    bc = (
+        D.minhash_dedup_pairs(text_ds, threshold=0.7, num_partitions=4, attach_strategy="broadcast")
+        .to_pandas()
+        .sort_values(["left_id", "right_id"])
+        .reset_index(drop=True)
+    )
+    sh = (
+        D.minhash_dedup_pairs(text_ds, threshold=0.7, num_partitions=4, attach_strategy="shuffle")
+        .to_pandas()
+        .sort_values(["left_id", "right_id"])
+        .reset_index(drop=True)
+    )
+    assert bc[["left_id", "right_id"]].equals(sh[["left_id", "right_id"]])
+    assert np.allclose(bc["jaccard"], sh["jaccard"])
+
+
+def test_embedding_dedup_hot_bucket_capped_metered():
+    """Near-identical vectors all share one signature bucket: above the cap
+    the block is truncated but the overflow column meters it."""
+    rng = np.random.RandomState(3)
+    base = rng.randn(16).astype(np.float32)
+    vecs = [base + rng.normal(0, 1e-4, 16).astype(np.float32) for _ in range(40)]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(list(range(40)), pa.int64()),
+                "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+            }
+        )
+    )
+    pairs = D.embedding_dedup_pairs(
+        ds, threshold=0.99, num_partitions=2, max_block_size=10
+    ).to_pandas()
+    assert pairs["overflow"].max() > 0
+    # chunked matmul still finds pairs among the capped members
+    assert len(pairs) > 0
+
+
+def test_planted_fixture_modes():
+    from entity_matching_datasets_ray.synth import PLANTED_ID_OFFSET, planted_dup_docs
+
+    ids = rd.from_arrow(pa.table({"doc_id": pa.array(list(range(20)), pa.int64())}))
+    mh = planted_dup_docs(ids, mode="minhash").to_pandas()
+    assert len(mh) == 40
+    pairs = D.minhash_dedup_pairs(
+        rd.from_pandas(mh), threshold=0.8, num_partitions=2
+    ).to_pandas()
+    found = set(zip(pairs.left_id, pairs.right_id))
+    assert found == {(i, i + PLANTED_ID_OFFSET) for i in range(20)}
+
+    sh = planted_dup_docs(ids, mode="simhash").to_pandas()
+    pairs2 = D.simhash_dedup_pairs(
+        rd.from_pandas(sh), max_hamming=3, num_partitions=2
+    ).to_pandas()
+    found2 = set(zip(pairs2.left_id, pairs2.right_id))
+    assert found2 == {(i, i + PLANTED_ID_OFFSET) for i in range(20)}
