@@ -22,7 +22,7 @@ from dataclasses import dataclass, field
 
 import ray
 
-from ..stages.blocking import candidate_pairs
+from ..stages.blocking import candidate_pairs_auto
 from ..stages.clustering import attach_singletons, connected_components
 from ..stages.extract import extract_stage
 from ..stages.scoring import fit_idf, score_pairs
@@ -44,6 +44,8 @@ class LinkageConfig:
     join_strategy: str = "auto"       # broadcast (small entity table) | shuffle (at scale)
     exact_keys: tuple = (("norm_brand", "modelno"), ("phone_norm",), ("skeleton_key",))
     checkpoint_root: str | None = None  # per-partition lineage checkpoint dir (resume)
+    blocking_path: str = "auto"       # fused (1 shuffle) | multi (per-pass) | auto by CPU count
+    snm_strategy: str = "bucket"      # bucket (first-token) | global (true sorted-neighborhood)
 
 
 def run_linkage(
@@ -77,8 +79,10 @@ def run_linkage(
         timings["prep_sec"] = round(_time.time() - t0, 2)
         t0 = _time.time()
 
-    pairs = candidate_pairs(
+    pairs = candidate_pairs_auto(
         entities,
+        path=cfg.blocking_path,
+        snm_strategy=cfg.snm_strategy,
         window=cfg.window,
         num_perm=cfg.num_perm,
         num_bands=cfg.num_bands,

@@ -193,6 +193,128 @@ def snm_pairs(
     )
 
 
+def snm_pairs_global(
+    entities,
+    window: int = 10,
+    num_partitions: int | None = None,
+):
+    """TRUE sorted-neighborhood blocking: one global range-partitioned
+    ``ds.sort`` over the full SNM key, windowed pair emission inside each
+    sorted block, and an exact boundary exchange for windows spanning
+    block edges.
+
+    Unlike ``snm_pairs`` (first-token bucketing), a neighborhood here may
+    span any key prefix — the letter of SURVEY.md §2.4 J2 / the north
+    star's "sorted-neighborhood on normalized name keys".
+
+    Mechanics:
+    - sort key = ``snm_key + \\x1f + doc_id`` — globally unique, so the
+      total order (and the emitted pair set) is deterministic under any
+      partitioning.
+    - in-block windowed pairs: one ``map_batches`` over whole blocks of
+      the sorted Dataset (zero extra shuffle — the sort already moved the
+      rows).
+    - boundary exchange: each block also emits its first/last ``window``
+      rows plus (block-first-key, block size, local position). That side
+      stream is tiny — O(window x num_blocks) — so the driver orders the
+      blocks by first key, reconstructs exact global positions, and emits
+      the cross-block pairs whose true global gap is <= window. Windows
+      spanning 3+ blocks are handled exactly because any fully-interior
+      block shorter than 2 x window contributes all of its rows.
+    """
+    import pyarrow.compute as pc
+
+    def add_key(t: pa.Table) -> pa.Table:
+        out = pa.table({"doc_id": t.column("doc_id"), "snm_key": t.column("snm_key")})
+        out = out.filter(
+            pc.and_(pc.is_valid(out["snm_key"]), pc.not_equal(out["snm_key"], pa.scalar("")))
+        )
+        sk = pc.binary_join_element_wise(out["snm_key"], out["doc_id"], "\x1f")
+        return out.append_column("sort_key", sk)
+
+    keyed = entities.select_columns(["doc_id", "snm_key"]).map_batches(
+        add_key, batch_format="pyarrow"
+    )
+    if num_partitions:
+        keyed = keyed.repartition(num_partitions)
+    # narrow (doc_id, key) table, materialized once for the two consumers
+    s = keyed.sort("sort_key").materialize()
+
+    def in_block(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df.sort_values("sort_key")["doc_id"].to_numpy()
+        left: list = []
+        right: list = []
+        _emit_window(ids, window, left, right)
+        return _pairs_frame(left, right, "snm", 0)
+
+    pairs_within = s.map_batches(in_block, batch_format="pandas", batch_size=None)
+
+    def boundary_rows(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("sort_key").reset_index(drop=True)
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=str),
+                    "sort_key": pd.Series([], dtype=str),
+                    "blk_first": pd.Series([], dtype=str),
+                    "blk_n": pd.Series([], dtype=np.int64),
+                    "local_pos": pd.Series([], dtype=np.int64),
+                }
+            )
+        idx = sorted(set(range(min(window, n))) | set(range(max(0, n - window), n)))
+        sub = df.iloc[idx]
+        return pd.DataFrame(
+            {
+                "doc_id": sub["doc_id"].to_numpy(),
+                "sort_key": sub["sort_key"].to_numpy(),
+                "blk_first": df["sort_key"].iloc[0],
+                "blk_n": np.int64(n),
+                "local_pos": np.asarray(idx, dtype=np.int64),
+            }
+        )
+
+    bd = s.map_batches(boundary_rows, batch_format="pandas", batch_size=None).to_pandas()
+
+    left: list = []
+    right: list = []
+    if len(bd):
+        # order blocks by their first key (globally unique), then assign
+        # exact global positions via cumulative block sizes
+        blocks = (
+            bd[["blk_first", "blk_n"]].drop_duplicates().sort_values("blk_first")
+        )
+        offsets = np.concatenate([[0], blocks["blk_n"].to_numpy().cumsum()[:-1]])
+        off_map = dict(zip(blocks["blk_first"], offsets))
+        blk_idx = {k: i for i, k in enumerate(blocks["blk_first"])}
+        bd = bd.assign(
+            gpos=bd["blk_first"].map(off_map).to_numpy() + bd["local_pos"].to_numpy(),
+            blk=bd["blk_first"].map(blk_idx).to_numpy(),
+        ).sort_values("gpos")
+        g = bd["gpos"].to_numpy()
+        ids = bd["doc_id"].to_numpy()
+        blk = bd["blk"].to_numpy()
+        m = len(bd)
+        for i in range(m):
+            for j in range(i + 1, m):
+                if g[j] - g[i] > window:
+                    break
+                if blk[i] == blk[j]:
+                    continue  # in-block pairs already emitted
+                a, b = ids[i], ids[j]
+                if a <= b:
+                    left.append(a)
+                    right.append(b)
+                else:
+                    left.append(b)
+                    right.append(a)
+
+    import ray.data as rd
+
+    cross = rd.from_pandas(_pairs_frame(left, right, "snm", 0))
+    return pairs_within.union(cross)
+
+
 # --------------------------------------------------------------------------
 # pass 2: MinHash-LSH
 # --------------------------------------------------------------------------
@@ -394,13 +516,22 @@ def candidate_pairs_multi_pass(
         ("phone_norm",),
         ("skeleton_key",),
     ),
+    snm_strategy: str = "bucket",
 ):
     """Union of the separate blocking passes, exact-deduped (reference
-    formulation: one shuffle per pass + a dedup shuffle). Kept as the
-    didactic/compat path; ``candidate_pairs`` fuses all passes into a
-    single shuffle and is the production default."""
+    formulation: one shuffle per pass + a dedup shuffle).
+
+    ``snm_strategy``: "bucket" (first-sorted-token neighborhoods, one
+    groupby) or "global" (true sorted-neighborhood: global sort + exact
+    boundary exchange, ``snm_pairs_global``). At low parallelism this
+    multi-pass plan beats the fused single-shuffle plan (measured: 50 s vs
+    81 s blocking at 4 CPUs); ``candidate_pairs_auto`` picks per run."""
+    if snm_strategy == "global":
+        snm = snm_pairs_global(entities, window=window, num_partitions=num_partitions)
+    else:
+        snm = snm_pairs(entities, window=window, num_buckets=num_buckets, num_partitions=num_partitions)
     passes = [
-        snm_pairs(entities, window=window, num_buckets=num_buckets, num_partitions=num_partitions),
+        snm,
         lsh_pairs(
             entities,
             num_perm=num_perm,
@@ -592,3 +723,39 @@ def candidate_pairs(
         .map_groups(per_bucket, batch_format="pandas")
     )
     return dedup_pairs(pairs, num_buckets=num_buckets, num_partitions=num_partitions)
+
+
+# Below this many effective CPUs the fused single-shuffle plan loses to the
+# multi-pass plan (pool spin-up + wide shuffle overheads dominate; measured
+# 81 s vs 50 s at 4 CPUs, equal-or-better at 16+).
+FUSED_MIN_CPUS = 12
+
+
+def candidate_pairs_auto(
+    entities,
+    path: str = "auto",
+    snm_strategy: str = "bucket",
+    **kw,
+):
+    """Adaptive blocking plan: fused single-shuffle at high parallelism,
+    multi-pass at low parallelism (or when the true-sorted-neighborhood
+    pass is requested — a global sort can't be fused into the key shuffle).
+
+    ``path``: "auto" | "fused" | "multi".
+    """
+    if path == "auto":
+        try:
+            import ray as _ray
+
+            cpus = int(_ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        path = "fused" if (cpus >= FUSED_MIN_CPUS and snm_strategy == "bucket") else "multi"
+    if path == "fused":
+        if snm_strategy != "bucket":
+            raise ValueError("fused blocking supports snm_strategy='bucket' only")
+        return candidate_pairs(entities, **kw)
+    kw.pop("max_pairs_per_block", None)
+    kw.pop("snm_max_block_size", None)
+    kw.pop("concurrency", None)
+    return candidate_pairs_multi_pass(entities, snm_strategy=snm_strategy, **kw)

@@ -1,6 +1,7 @@
 """Blocking-stage tests: recall of each pass, dedup, capping."""
 
 import pandas as pd
+import pyarrow as pa
 import pytest
 import ray.data as rd
 
@@ -103,3 +104,51 @@ def test_fused_equals_multi_pass(entities):
     fused = _pair_set(B.candidate_pairs(entities, num_partitions=4))
     multi = _pair_set(B.candidate_pairs_multi_pass(entities, num_partitions=4))
     assert fused == multi
+
+
+def test_snm_global_equals_bruteforce_windowed():
+    """snm_pairs_global must emit EXACTLY the sliding-window pairs of the
+    globally sorted key order, across any partitioning (boundary exchange
+    is exact), including duplicate keys."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(5)
+    n = 300
+    keys = [f"key{rng.randint(0, 40):02d} tail{i%7}" for i in range(n)]
+    ids = [f"d{i:04d}" for i in range(n)]
+    t = pa.table({"doc_id": pa.array(ids), "snm_key": pa.array(keys)})
+    window = 5
+
+    order = sorted(range(n), key=lambda i: keys[i] + "\x1f" + ids[i])
+    expected = set()
+    for a in range(n):
+        for b in range(a + 1, min(a + 1 + window, n)):
+            x, y = ids[order[a]], ids[order[b]]
+            expected.add((min(x, y), max(x, y)))
+
+    for parts in (2, 7):
+        got = B.snm_pairs_global(
+            rd.from_arrow(t), window=window, num_partitions=parts
+        ).to_pandas()
+        got_pairs = set(zip(got.left_id, got.right_id))
+        assert got_pairs == expected, f"parts={parts}"
+
+
+def test_snm_global_crosses_first_token_boundary():
+    """Neighbors whose first sorted tokens differ are invisible to the
+    bucketed snm_pairs but MUST be paired by the global sort."""
+    t = pa.table(
+        {
+            "doc_id": pa.array(["a1", "a2"]),
+            "snm_key": pa.array(["alpha zulu", "alphb zulu"]),  # adjacent keys, different first token
+        }
+    )
+    ds = rd.from_arrow(t)
+    got = B.snm_pairs_global(ds, window=3, num_partitions=2).to_pandas()
+    assert ("a1", "a2") in set(zip(got.left_id, got.right_id))
+    bucketed = B.snm_pairs(ds, window=3).to_pandas()
+    bucketed_pairs = (
+        set(zip(bucketed["left_id"], bucketed["right_id"])) if len(bucketed) else set()
+    )
+    assert ("a1", "a2") not in bucketed_pairs

@@ -82,3 +82,22 @@ def test_confusion_f1_known_counts():
     assert m["tp"] == 3 and m["fp"] == 1 and m["fn"] == 1 and m["tn"] == 3
     assert m["precision"] == pytest.approx(0.75)
     assert m["recall"] == pytest.approx(0.75)
+
+
+def test_global_snm_f1_holds():
+    """True sorted-neighborhood (global sort + boundary exchange) keeps the
+    F1 gate at the same candidate budget."""
+    from entity_matching_datasets_ray.pipelines.evaluate import pairwise_f1
+    from entity_matching_datasets_ray.pipelines.flagship import synthetic_linkage
+    from entity_matching_datasets_ray.pipelines.linkage import LinkageConfig, run_linkage
+    import ray.data as rd
+    from entity_matching_datasets_ray.synth import synth_docs_table, truth_pairs
+
+    docs = rd.from_arrow(synth_docs_table(300))
+    gold = rd.from_arrow(truth_pairs(300))
+    clusters = run_linkage(
+        docs,
+        LinkageConfig(num_partitions=4, snm_strategy="global", blocking_path="multi"),
+    )
+    m = pairwise_f1(clusters, gold, num_partitions=4)
+    assert m["f1"] >= 0.99, m
