@@ -172,11 +172,10 @@ class _Side:
         self.norm = math.sqrt(sum(w * w for w in self.vec.values()))
 
 
-def _name_features(l: _Side, r: _Side, edit_memo: dict | None = None) -> tuple[float, float, float, float, float, float, float, float]:
-    """(jw, lev, jac, ng_jac, contain, tfidf, num_jac, tfidf_contain)
-    between two cached sides.
-    Must stay numerically identical to the uncached formulas in
-    functions/similarity.py (the calibrated weights depend on it)."""
+def _name_features_cheap(l: _Side, r: _Side) -> tuple[float, float, float, float, float, float, bool]:
+    """(jac, ng_jac, contain, tfidf, num_jac, tfidf_contain, gated) — the
+    set/tfidf features plus the cheap-reject verdict; the O(len^2) edit
+    kernels are the caller's (possibly batched) concern."""
     sl, sr = l.tok_set, r.tok_set
     if not sl and not sr:
         jac = 1.0
@@ -213,7 +212,17 @@ def _name_features(l: _Side, r: _Side, edit_memo: dict | None = None) -> tuple[f
         tfidf = dot / (l.norm * r.norm)
         mn = min(l.norm, r.norm)
         tfidf_contain = min(1.0, dot / (mn * mn))
-    if jac < CHEAP_REJECT_JAC and ng < CHEAP_REJECT_JAC and tfidf < CHEAP_REJECT_TFIDF:
+    gated = jac < CHEAP_REJECT_JAC and ng < CHEAP_REJECT_JAC and tfidf < CHEAP_REJECT_TFIDF
+    return jac, ng, contain, tfidf, num_jac, tfidf_contain, gated
+
+
+def _name_features(l: _Side, r: _Side, edit_memo: dict | None = None) -> tuple[float, float, float, float, float, float, float, float]:
+    """(jw, lev, jac, ng_jac, contain, tfidf, num_jac, tfidf_contain)
+    between two cached sides.
+    Must stay numerically identical to the uncached formulas in
+    functions/similarity.py (the calibrated weights depend on it)."""
+    jac, ng, contain, tfidf, num_jac, tfidf_contain, gated = _name_features_cheap(l, r)
+    if gated:
         jw = lev = ng
     elif edit_memo is not None:
         key = (l.capped, r.capped)
@@ -231,6 +240,55 @@ def _name_features(l: _Side, r: _Side, edit_memo: dict | None = None) -> tuple[f
         jw = S.jaro_winkler(l.capped, r.capped)
         lev = S.levenshtein_ratio(l.capped, r.capped)
     return jw, lev, jac, ng, contain, tfidf, num_jac, tfidf_contain
+
+
+def _batch_name_features(
+    feats: np.ndarray, lnames: list, rnames: list, side_fn, edit_memo: dict
+) -> None:
+    """Fill feats[:, 0:8] for a batch: cheap features + gate per row in
+    Python (set ops over cached sides), then ONE vectorized call into the
+    batched Jaro-Winkler / Myers-Levenshtein kernels for the unique,
+    non-gated, non-memoized capped pairs (functions/similarity_batch.py —
+    bit-identical to the scalar kernels)."""
+    from ..functions.similarity_batch import (
+        jaro_winkler_batch,
+        levenshtein_ratio_batch,
+    )
+
+    n = len(lnames)
+    pending: dict[tuple, list[int]] = {}
+    for i in range(n):
+        ls = side_fn(_none_if_na(lnames[i]))
+        rs = side_fn(_none_if_na(rnames[i]))
+        jac, ng, contain, tfidf, num_jac, tfc, gated = _name_features_cheap(ls, rs)
+        feats[i, 2] = jac
+        feats[i, 3] = ng
+        feats[i, 4] = contain
+        feats[i, 5] = tfidf
+        feats[i, 6] = num_jac
+        feats[i, 7] = tfc
+        if gated:
+            feats[i, 0] = feats[i, 1] = ng
+            continue
+        key = (ls.capped, rs.capped)
+        hit = edit_memo.get(key)
+        if hit is not None:
+            feats[i, 0], feats[i, 1] = hit
+        else:
+            pending.setdefault(key, []).append(i)
+    if pending:
+        keys = list(pending.keys())
+        jw = jaro_winkler_batch([k[0] for k in keys], [k[1] for k in keys])
+        lev = levenshtein_ratio_batch([k[0] for k in keys], [k[1] for k in keys])
+        if len(edit_memo) >= 500_000:
+            edit_memo.clear()
+        for key, w, v in zip(keys, jw, lev):
+            w = float(w)
+            v = float(v)
+            edit_memo[key] = (w, v)
+            for i in pending[key]:
+                feats[i, 0] = w
+                feats[i, 1] = v
 
 
 _AUX_COLUMNS = [
@@ -335,13 +393,11 @@ class PairScorer:
         side = self._side
         memo = self._edit_memo
 
-        # --- name features: per-row loop over cached sides ---------------
+        # --- name features: cheap set features per row, edit kernels
+        # batched+vectorized over the unique non-gated population ---------
         lnames = batch["l_norm_name"].tolist()
         rnames = batch["r_norm_name"].tolist()
-        for i in range(n):
-            ls = side(_none_if_na(lnames[i]))
-            rs = side(_none_if_na(rnames[i]))
-            feats[i, 0:8] = _name_features(ls, rs, memo)
+        _batch_name_features(feats, lnames, rnames, side, memo)
 
         # --- exact-agreement aux features: fully vectorized --------------
         def eq_feature(col: str) -> np.ndarray:

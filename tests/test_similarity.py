@@ -98,3 +98,39 @@ def test_hash64_deterministic():
     assert H.hash64("abc") == H.hash64("abc")
     assert H.hash64("abc") != H.hash64("abd")
     assert H.content_hash("a", "b") != H.content_hash("ab", "")
+
+
+def test_batched_kernels_bit_identical_to_scalar():
+    """jaro_winkler_batch / levenshtein_ratio_batch must equal the scalar
+    kernels EXACTLY (the calibrated weights and the scorer memo depend on
+    it), across unicode, empties, equal pairs and 64-char caps."""
+    import random
+
+    import numpy as np
+
+    from entity_matching_datasets_ray.functions import similarity as S
+    from entity_matching_datasets_ray.functions.similarity_batch import (
+        jaro_winkler_batch,
+        levenshtein_ratio_batch,
+    )
+
+    random.seed(7)
+    alphabet = "abcdefgh 0123456789é漢"
+    cases = [
+        ("", ""), ("a", ""), ("", "b"), ("abc", "abc"),
+        ("martha", "marhta"), ("dixon", "dicksonx"),
+        ("a" * 64, "a" * 63 + "b"), ("ab", "ba"),
+    ]
+    for _ in range(1500):
+        a = "".join(random.choice(alphabet) for _ in range(random.randint(0, 64)))
+        b = "".join(random.choice(alphabet) for _ in range(random.randint(0, 64)))
+        if random.random() < 0.25:
+            b = a
+        cases.append((a, b))
+    A = [c[0] for c in cases]
+    B = [c[1] for c in cases]
+    jw = jaro_winkler_batch(A, B)
+    lev = levenshtein_ratio_batch(A, B)
+    for i, (a, b) in enumerate(cases):
+        assert S.jaro_winkler(a, b) == jw[i], (a, b)
+        assert S.levenshtein_ratio(a, b) == lev[i], (a, b)
