@@ -408,18 +408,38 @@ def format_price_usd(v: Optional[float]) -> Optional[str]:
 
 _NON_ALNUM = re.compile(r"[^0-9a-z ]+")
 
+# Version-token canonicalization (software/product titles — the dominant
+# positive-pair noise in the reference's Amazon-Google / Walmart corpora):
+# "v22" / "v. 3.5" / "version 2.0" -> bare number; "2.0" / "2 .0" -> "2"
+# (trailing .0 is formatting, "10.2.8" is untouched); small roman numerals
+# -> digits ("warlords iii" vs "warlords 3"). Applied before punctuation
+# stripping so dots still delimit.
+_VERSION_PREFIX = re.compile(r"\bv(?:er(?:sion)?)?\.?\s*(\d+(?:\.\d+)*)\b")
+_TRAILING_DOT0 = re.compile(r"\b(\d+)\s*\.\s*0\b")
+_ROMAN_TOKENS = {"ii": "2", "iii": "3", "iv": "4", "vii": "7", "viii": "8", "ix": "9"}
+_ROMAN_RE = re.compile(r"\b(ii|iii|iv|vii|viii|ix)\b")
+
+
+def canonicalize_versions(t: str) -> str:
+    """Lowercased text -> version-token-canonical text (see above)."""
+    t = _VERSION_PREFIX.sub(r"\1", t)
+    t = _TRAILING_DOT0.sub(r"\1", t)
+    return _ROMAN_RE.sub(lambda m: _ROMAN_TOKENS[m.group(1)], t)
+
 
 def normalize_name(s: Optional[str]) -> str:
     """Canonical text form used for blocking keys and match features.
 
-    Chain: strip lang tags / quotes / vendor suffixes, lowercase, expand
-    abbreviations, canonicalize brands, strip punctuation, collapse
-    whitespace, dedupe adjacent tokens. Deterministic stand-in for the
-    reference's prompt-encoded cleanup (Amazon/prompt.py:75-93 et al.).
+    Chain: strip lang tags / quotes / vendor suffixes, lowercase,
+    canonicalize version tokens, expand abbreviations, canonicalize
+    brands, strip punctuation, collapse whitespace, dedupe adjacent
+    tokens. Deterministic stand-in for the reference's prompt-encoded
+    cleanup (Amazon/prompt.py:75-93 et al.).
     """
     if is_null_sentinel(s):
         return ""
     t = strip_vendor_suffix(strip_quotes(strip_lang_tags(s))).lower()
+    t = canonicalize_versions(t)
     t = apply_table(t, ABBREV_TABLE)
     t = apply_table(t, BRAND_TABLE)
     t = _NON_ALNUM.sub(" ", t)

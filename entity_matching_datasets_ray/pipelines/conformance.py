@@ -27,7 +27,14 @@ import ray.data as rd
 
 from ..schema import DOCS_SCHEMA, spans_from_fields
 from ..stages.extract import extract_stage
-from ..stages.scoring import FEATURE_NAMES, fit_idf, fit_logistic, score_pairs
+from ..stages.scoring import (
+    FEATURE_NAMES,
+    boosted_score,
+    fit_boosted_stumps,
+    fit_idf,
+    fit_logistic,
+    score_pairs,
+)
 
 REFERENCE_ROOT = "/root/reference/DeepMather"
 
@@ -102,22 +109,39 @@ def _f1(y: np.ndarray, p: np.ndarray, th: float) -> float:
     return 2 * tp / max(1, 2 * tp + fp + fn)
 
 
-def evaluate_corpus(corpus: str, num_partitions: int = 8) -> dict:
-    """Train-split calibration -> test-split pairwise F1 (SURVEY.md §7)."""
+# Below this many train pairs the stump ensemble overfits and the ridge
+# logistic generalizes better (Beer/Fodors/iTunes-sized corpora).
+BOOST_MIN_TRAIN = 3000
+
+
+def evaluate_corpus(corpus: str, num_partitions: int = 8, model: str = "auto") -> dict:
+    """Train-split calibration -> test-split pairwise F1 (SURVEY.md §7).
+
+    ``model``: "logistic" (ridge IRLS), "boost" (deterministic stump
+    ensemble, ``fit_boosted_stumps``), or "auto" (boost on large corpora,
+    logistic on small ones)."""
     tr = score_labeled_pairs(corpus, "train", num_partitions)
     Xtr = tr[FEATURE_NAMES].to_numpy()
     ytr = tr["label"].to_numpy(dtype=float)
-    w, b = fit_logistic(Xtr, ytr)
-    ptr = 1.0 / (1.0 + np.exp(-np.clip(Xtr @ w + b, -35, 35)))
+    if model == "auto":
+        model = "boost" if len(tr) >= BOOST_MIN_TRAIN else "logistic"
+    if model == "boost":
+        stumps = fit_boosted_stumps(Xtr, ytr)
+        score = lambda X: boosted_score(stumps, X)  # noqa: E731
+    else:
+        w, b = fit_logistic(Xtr, ytr)
+        score = lambda X: 1.0 / (1.0 + np.exp(-np.clip(X @ w + b, -35, 35)))  # noqa: E731
+    ptr = score(Xtr)
     best_f1, best_th = max(
         (( _f1(ytr, ptr, th), th) for th in np.arange(0.05, 0.95, 0.025))
     )
     te = score_labeled_pairs(corpus, "test", num_partitions)
     Xte = te[FEATURE_NAMES].to_numpy()
     yte = te["label"].to_numpy(dtype=float)
-    pte = 1.0 / (1.0 + np.exp(-np.clip(Xte @ w + b, -35, 35)))
+    pte = score(Xte)
     return {
         "corpus": corpus,
+        "model": model,
         "train_f1": round(best_f1, 4),
         "threshold": round(float(best_th), 3),
         "test_f1": round(_f1(yte, pte, best_th), 4),

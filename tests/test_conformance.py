@@ -16,9 +16,9 @@ FLOORS = {
     "Beer": 0.75,
     "Fodors": 0.90,
     "iTunes": 0.60,
-    "Amazon": 0.50,
-    "walmart": 0.60,
-    "DBLACM": 0.85,
+    "Amazon": 0.55,
+    "walmart": 0.72,
+    "DBLACM": 0.90,
 }
 
 
