@@ -153,3 +153,91 @@ def evaluate_corpus(corpus: str, num_partitions: int = 8, model: str = "auto") -
 def conformance_report(corpora: list[str] | None = None, num_partitions: int = 8) -> pd.DataFrame:
     names = corpora or list(FIELD_MAPS)
     return pd.DataFrame([evaluate_corpus(c, num_partitions) for c in names])
+
+
+# --------------------------------------------------------------------------
+# WDC Ditto-TEXT path (reference E3): the same labeled pairs, but consumed
+# through the engine's Ditto text reader on the reference's actual
+# wdc.zip files (wdc/<category>/normal/{train,test}.txt) — exercises
+# read_ditto -> schema inference -> wide rows end to end on real data.
+# --------------------------------------------------------------------------
+
+WDC_ZIP = f"{REFERENCE_ROOT}/dittofolder/wdc.zip"
+
+
+def _extract_wdc_txt(category: str, variant: str, split: str) -> str:
+    import zipfile
+
+    out = f"/tmp/wdc_ditto/{category}/{variant}/{split}.txt"
+    if not os.path.exists(out):
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        with zipfile.ZipFile(WDC_ZIP) as z:
+            try:
+                data = z.read(f"wdc/{category}/{variant}/{split}.txt")
+            except KeyError:
+                # the reference spells cameras' unenriched variant "noraml"
+                data = z.read(f"wdc/{category}/noraml/{split}.txt")
+        with open(out, "wb") as f:
+            f.write(data)
+    return out
+
+
+def load_wdc_ditto_pairs(category: str, split: str, variant: str = "normal"):
+    """WDC Ditto text -> (docs Dataset in spans shape, labeled pairs df),
+    via the full converter pipeline (read_ditto -> infer -> wide rows)."""
+    from ..sources.ditto import convert_ditto_to_wide
+
+    path = _extract_wdc_txt(category, variant, split)
+    wide, fields = convert_ditto_to_wide(path, preferred_order=["title"])
+    df = wide.to_pandas()
+    rows, pairs = [], []
+    for i, row in df.iterrows():
+        for side in ("left", "right"):
+            rows.append(
+                {
+                    "doc_id": f"wdc{category}:{i}:{side}",
+                    "dataset": f"wdc-{category}",
+                    "spans": spans_from_fields([("name", str(row[f"{side}_title"]))]),
+                }
+            )
+        pairs.append((f"wdc{category}:{i}:left", f"wdc{category}:{i}:right", int(row["label"])))
+    docs = rd.from_arrow(pa.Table.from_pylist(rows, schema=DOCS_SCHEMA))
+    pdf = pd.DataFrame(pairs, columns=["a", "b", "label"])
+    pdf["left_id"] = np.minimum(pdf.a, pdf.b)
+    pdf["right_id"] = np.maximum(pdf.a, pdf.b)
+    return docs, pdf[["left_id", "right_id", "label"]]
+
+
+def _score_docs_pairs(docs, pairs: pd.DataFrame, num_partitions: int = 8) -> pd.DataFrame:
+    entities = extract_stage(docs).drop_columns(["spans"]).materialize()
+    idf = fit_idf(entities)
+    cand = rd.from_pandas(pairs[["left_id", "right_id"]])
+    scored = score_pairs(
+        cand, entities, ray.put(idf), n_docs=entities.count(),
+        num_partitions=num_partitions,
+    ).to_pandas()
+    return scored.merge(pairs, on=["left_id", "right_id"])
+
+
+def evaluate_wdc_ditto(category: str, num_partitions: int = 8, variant: str = "normal") -> dict:
+    """Train-calibrated test F1 on the WDC corpora consumed through the
+    Ditto TEXT reader (reference E3 conformance on its own files)."""
+    tr = _score_docs_pairs(*load_wdc_ditto_pairs(category, "train", variant), num_partitions)
+    Xtr = tr[FEATURE_NAMES].to_numpy()
+    ytr = tr["label"].to_numpy(dtype=float)
+    w, b = fit_logistic(Xtr, ytr)
+    ptr = 1.0 / (1.0 + np.exp(-np.clip(Xtr @ w + b, -35, 35)))
+    best_f1, best_th = max(
+        ((_f1(ytr, ptr, th), th) for th in np.arange(0.05, 0.95, 0.025))
+    )
+    te = _score_docs_pairs(*load_wdc_ditto_pairs(category, "test", variant), num_partitions)
+    pte = 1.0 / (1.0 + np.exp(-np.clip(te[FEATURE_NAMES].to_numpy() @ w + b, -35, 35)))
+    return {
+        "corpus": f"wdc-{category}-ditto-text",
+        "model": "logistic",
+        "train_f1": round(best_f1, 4),
+        "threshold": round(float(best_th), 3),
+        "test_f1": round(_f1(te["label"].to_numpy(dtype=float), pte, best_th), 4),
+        "n_train": len(tr),
+        "n_test": len(te),
+    }

@@ -57,3 +57,12 @@ def test_beer_enrich_schema_matches_golden():
     raw = pd.read_csv(f"{C.REFERENCE_ROOT}/Beer/train.csv", dtype=str).head(50)
     out = enrich_pairs(rd.from_pandas(raw), SPECS["beer"]).to_pandas()
     assert set(out.columns) == set(golden_header)
+
+
+def test_wdc_ditto_text_path_matches_csv_path():
+    """Reference E3: consuming the WDC corpora through the Ditto TEXT
+    reader (wdc.zip train/test.txt -> read_ditto -> schema inference ->
+    wide rows) must reproduce the converted-CSV path's quality."""
+    m_txt = C.evaluate_wdc_ditto("cameras", num_partitions=4)
+    assert m_txt["n_test"] == 1057
+    assert m_txt["test_f1"] >= 0.65, m_txt
