@@ -134,6 +134,7 @@ def run_linkage(
     )
     if timings is not None:
         timings["scoring_sec"] = round(_time.time() - t0, 2)
+        timings["n_edges"] = edges.count()
         t0 = _time.time()
     labels = connected_components(edges, num_partitions=cfg.num_partitions)
     # clusters is two string columns per doc and is consumed multiple times
