@@ -49,13 +49,17 @@ def encode_pair_batch(
 
 
 def jaro_winkler_batch(
-    a_strs: list[str], b_strs: list[str], prefix_weight: float = 0.1
+    a_strs: list[str], b_strs: list[str], prefix_weight: float = 0.1, max_len: int = 64
 ) -> np.ndarray:
-    """Vectorized ``similarity.jaro_winkler`` over N pairs."""
+    """Vectorized ``similarity.jaro_winkler`` over N pairs.
+
+    ``max_len`` is an encoding cap only (the Jaro recurrence has no
+    64-lane limit, unlike Myers); pass a large value for uncapped fields.
+    """
     n = len(a_strs)
     if n == 0:
         return np.empty(0)
-    A, la, B, lb = encode_pair_batch(a_strs, b_strs)
+    A, la, B, lb = encode_pair_batch(a_strs, b_strs, max_len)
     L = A.shape[1]
 
     # process longest-first so the per-position loop scans a shrinking prefix

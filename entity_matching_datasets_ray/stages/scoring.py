@@ -443,7 +443,11 @@ class PairScorer:
             close = np.maximum(0.0, 1.0 - np.abs(lp - rp) / denom)
         feats[:, col_idx["price_close"]] = np.where(np.isnan(lp) | np.isnan(rp), 0.5, close)
 
-        # --- string-similarity aux features: loop only non-null rows -----
+        # --- string-similarity aux features: batched Jaro-Winkler over
+        # the non-null rows (one vectorized call per column; bit-identical
+        # to the scalar kernel), token-Jaccard stays a set-op loop --------
+        from ..functions.similarity_batch import jaro_winkler_batch
+
         for col, fname, kind in [
             ("addr", "addr_jw", "jw_lower"),
             ("authors", "authors_jac", "tok_jac"),
@@ -453,17 +457,25 @@ class PairScorer:
             l = self._clean_col(batch[f"l_{col}"])
             r = self._clean_col(batch[f"r_{col}"])
             out_col = np.full(n, 0.5)
-            present = ~((l == None) & (r == None))  # noqa: E711
-            for i in np.flatnonzero(present):
-                a, b = l[i], r[i]
-                if kind == "jw":
-                    out_col[i] = S.jaro_winkler(a or "", b or "")
-                elif kind == "jw_lower":
-                    out_col[i] = S.jaro_winkler((a or "").lower(), (b or "").lower())
-                else:
+            present = np.flatnonzero(~((l == None) & (r == None)))  # noqa: E711
+            if len(present) == 0:
+                feats[:, col_idx[fname]] = out_col
+                continue
+            if kind == "tok_jac":
+                for i in present:
                     out_col[i] = S.token_jaccard(
-                        (a or "").lower().split(", "), (b or "").lower().split(", ")
+                        (l[i] or "").lower().split(", "), (r[i] or "").lower().split(", ")
                     )
+            else:
+                if kind == "jw_lower":
+                    a = [(l[i] or "").lower() for i in present]
+                    b = [(r[i] or "").lower() for i in present]
+                else:
+                    a = [(l[i] or "") for i in present]
+                    b = [(r[i] or "") for i in present]
+                # aux strings are uncapped in the scalar path; raise the
+                # encode cap well past any real field length
+                out_col[present] = jaro_winkler_batch(a, b, max_len=4096)
             feats[:, col_idx[fname]] = out_col
 
         z = feats @ self.w + self.b
