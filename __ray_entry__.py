@@ -53,6 +53,30 @@ def _linkage_synth_f1(sf_dir: str):
     return pd.DataFrame([m])
 
 
+def _linkage_incremental(sf_dir: str):
+    """Incremental cluster maintenance: fold a 1-in-7 delta of the synth
+    corpus into clusters built from the rest; returns the merged cluster
+    table (rows-only; full-recompute equivalence + old-components-never-
+    split are asserted in tests/test_pipeline_e2e.py)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.pipelines.linkage import (
+        LinkageConfig,
+        run_linkage,
+        run_linkage_incremental,
+    )
+    from entity_matching_datasets_ray.synth import synth_docs_table
+
+    full_tbl = synth_docs_table(150)
+    mask = pa.array([i % 7 == 0 for i in range(full_tbl.num_rows)])
+    old_docs = rd.from_arrow(full_tbl.filter(pc.invert(mask)))
+    new_docs = rd.from_arrow(full_tbl.filter(mask))
+    cfg = LinkageConfig(num_partitions=8)
+    old_clusters = run_linkage(old_docs, cfg)
+    return run_linkage_incremental(old_clusters, old_docs, new_docs, cfg).sort("doc_id")
+
+
 def _exact_dedup_documents(sf_dir: str):
     import ray.data as rd
 
@@ -378,6 +402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # linkage + training-data ops (rows-only)
         "linkage_clusters": _linkage_clusters,
         "linkage_synth_f1": _linkage_synth_f1,
+        "linkage_incremental": _linkage_incremental,
         "minhash_dedup_documents": _minhash_dedup_documents,
         "simhash_pairs_documents": _simhash_pairs_documents,
         "embedding_dedup_pairs": _embedding_dedup_pairs,

@@ -113,6 +113,62 @@ def _emit_window(ids, window: int, left: list, right: list):
                 right.append(a)
 
 
+def _emit_window_delta(ids, is_new, window: int, left: list, right: list):
+    """Sliding-window pairs touching at least one NEW row (delta blocking:
+    old x old pairs were already emitted by the run that built the
+    existing clusters)."""
+    n = len(ids)
+    for i in range(n):
+        a = ids[i]
+        a_new = is_new[i]
+        for j in range(i + 1, min(i + 1 + window, n)):
+            if not (a_new or is_new[j]):
+                continue
+            b = ids[j]
+            if a <= b:
+                left.append(a)
+                right.append(b)
+            else:
+                left.append(b)
+                right.append(a)
+
+
+def _emit_capped_delta(ids, is_new, max_pairs: int, left: list, right: list) -> int:
+    """Delta variant of ``_emit_capped``: all new-touching pairs when small
+    (new x new + new x old), bounded star + window above the cap. The star
+    hub is the block's min id (old or new) so new members stay reachable
+    from the existing component."""
+    n = len(ids)
+    n_new = int(np.sum(is_new))
+    if n_new == 0:
+        return 0
+    total = n_new * (n_new - 1) // 2 + n_new * (n - n_new)
+    if total <= max_pairs:
+        for i in range(n):
+            a = ids[i]
+            a_new = is_new[i]
+            for j in range(i + 1, n):
+                if not (a_new or is_new[j]):
+                    continue
+                b = ids[j]
+                if a <= b:
+                    left.append(a)
+                    right.append(b)
+                else:
+                    left.append(b)
+                    right.append(a)
+        return 0
+    window = max(1, max_pairs // (2 * n))
+    hub = ids[0]
+    for i in range(1, n):
+        if is_new[i] or i == 0:
+            left.append(hub)
+            right.append(ids[i])
+    _emit_window_delta(ids, is_new, window, left, right)
+    emitted = n_new + min(total, window * n)
+    return max(0, total - emitted)
+
+
 def _emit_capped(ids, max_pairs: int, left: list, right: list) -> int:
     """All pairs when the block is small; for hot blocks, a bounded
     star + sliding-window pattern over the sorted ids.
@@ -599,6 +655,9 @@ class FusedKeyEmitter:
         doc_ids = batch.column("doc_id").to_pylist()
         snm_keys = batch.column("snm_key").to_pylist()
         names = batch.column("norm_name").to_pylist()
+        # delta blocking: an is_new tag rides along with every key row
+        has_new = "is_new" in batch.schema.names
+        new_flags = batch.column("is_new").to_pylist() if has_new else None
         exact_cols = {
             c: batch.column(c).to_pylist()
             for cols in self.exact_keys
@@ -608,16 +667,22 @@ class FusedKeyEmitter:
         out_kind: list[int] = []
         out_doc: list[str] = []
         out_sort: list[str] = []
+        out_new: list[int] = []
+
+        def emit(key: int, kind: int, i: int, sort: str):
+            out_key.append(key)
+            out_kind.append(kind)
+            out_doc.append(doc_ids[i])
+            out_sort.append(sort)
+            if new_flags is not None:
+                out_new.append(new_flags[i])
 
         # SNM: first sorted token keys (windowed later, needs sort_key)
         for i in range(n):
             sk = snm_keys[i]
             if sk:
                 first = sk.split(" ", 1)[0]
-                out_key.append(self._k64(self.KIND_SNM, first))
-                out_kind.append(self.KIND_SNM)
-                out_doc.append(doc_ids[i])
-                out_sort.append(sk)
+                emit(self._k64(self.KIND_SNM, first), self.KIND_SNM, i, sk)
 
         # LSH bands (reuses BandEmitter's shingle-memoized minhash)
         hash_lists = [
@@ -629,10 +694,7 @@ class FusedKeyEmitter:
             if hash_lists[i].size == 0:
                 continue
             for bk in band_keys(sigs[i], self.bands.num_bands, self.bands.rows_per_band):
-                out_key.append(bk)
-                out_kind.append(self.KIND_LSH)
-                out_doc.append(doc_ids[i])
-                out_sort.append("")
+                emit(bk, self.KIND_LSH, i, "")
 
         # exact keys (null-keyed rows excluded)
         for ki, cols in enumerate(self.exact_keys):
@@ -642,20 +704,18 @@ class FusedKeyEmitter:
                 if any(v is None or v == "" for v in vals):
                     continue
                 payload = f"{ki}\x1f" + "\x1f".join(str(v) for v in vals)
-                out_key.append(self._k64(self.KIND_EXACT, payload))
-                out_kind.append(self.KIND_EXACT)
-                out_doc.append(doc_ids[i])
-                out_sort.append("")
+                emit(self._k64(self.KIND_EXACT, payload), self.KIND_EXACT, i, "")
 
         key_arr = np.fromiter(out_key, dtype=np.uint64, count=len(out_key))
-        return pa.table(
-            {
-                "key64": pa.array(key_arr, pa.uint64()),
-                "kind": pa.array(out_kind, pa.int8()),
-                "doc_id": pa.array(out_doc, pa.string()),
-                "sort_key": pa.array(out_sort, pa.string()),
-            }
-        )
+        cols_out = {
+            "key64": pa.array(key_arr, pa.uint64()),
+            "kind": pa.array(out_kind, pa.int8()),
+            "doc_id": pa.array(out_doc, pa.string()),
+            "sort_key": pa.array(out_sort, pa.string()),
+        }
+        if new_flags is not None:
+            cols_out["is_new"] = pa.array(out_new, pa.int8())
+        return pa.table(cols_out)
 
 
 def candidate_pairs(
@@ -674,15 +734,24 @@ def candidate_pairs(
     max_pairs_per_block: int = 20000,
     snm_max_block_size: int = 5000,
     concurrency: int | tuple | None = None,
+    delta: bool = False,
 ):
     """All blocking passes fused: one key-emission actor pool, one bucketed
     shuffle, per-bucket pair emission with in-bucket dedup, one final
     cross-bucket pair dedup. Produces the same candidate set as
     ``candidate_pairs_multi_pass`` (tested equal) with 2 shuffles instead
-    of 6."""
+    of 6.
+
+    ``delta=True`` (incremental linkage): ``entities`` must carry an
+    ``is_new`` int8 column; only pairs touching at least one NEW row are
+    emitted — the old x old pairs were already scored by the run that
+    built the existing clusters, so a delta of d docs against a corpus of
+    n costs O(d x block_members), never O(n^2)."""
     need_cols = ["doc_id", "norm_name", "snm_key"] + sorted(
         {c for cols in exact_keys for c in cols}
     )
+    if delta:
+        need_cols.append("is_new")
     keyed = entities.select_columns(need_cols).map_batches(
         FusedKeyEmitter,
         fn_constructor_args=(window, num_perm, num_bands, seed, exact_keys),
@@ -707,13 +776,27 @@ def candidate_pairs(
             if kind == FusedKeyEmitter.KIND_SNM:
                 g = g.sort_values(["sort_key", "doc_id"])
                 ids = g["doc_id"].to_numpy()
+                flags = g["is_new"].to_numpy() if delta else None
                 if len(ids) > snm_max_block_size:
                     overflow += len(ids) - snm_max_block_size
                     ids = ids[:snm_max_block_size]
-                _emit_window(ids, window, left, right)
+                    if flags is not None:
+                        flags = flags[:snm_max_block_size]
+                if delta:
+                    _emit_window_delta(ids, flags, window, left, right)
+                else:
+                    _emit_window(ids, window, left, right)
             else:
-                ids = np.sort(g["doc_id"].unique())
-                overflow += _emit_capped(ids, max_pairs_per_block, left, right)
+                if delta:
+                    g2 = g.drop_duplicates("doc_id").sort_values("doc_id")
+                    ids = g2["doc_id"].to_numpy()
+                    flags = g2["is_new"].to_numpy()
+                    overflow += _emit_capped_delta(
+                        ids, flags, max_pairs_per_block, left, right
+                    )
+                else:
+                    ids = np.sort(g["doc_id"].unique())
+                    overflow += _emit_capped(ids, max_pairs_per_block, left, right)
         out = _pairs_frame(left, right, "fused", overflow)
         return out.drop_duplicates(["left_id", "right_id"])
 

@@ -101,3 +101,51 @@ def test_global_snm_f1_holds():
     )
     m = pairwise_f1(clusters, gold, num_partitions=4)
     assert m["f1"] >= 0.99, m
+
+
+def test_incremental_linkage_matches_full_recompute():
+    """Folding a delta into existing clusters must reproduce the full
+    recompute's pairwise decisions (same scorer, delta-only candidate
+    emission, label-edge transitivity)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.pipelines.evaluate import pairwise_f1
+    from entity_matching_datasets_ray.pipelines.linkage import (
+        LinkageConfig,
+        run_linkage,
+        run_linkage_incremental,
+    )
+    from entity_matching_datasets_ray.synth import synth_docs_table, truth_pairs
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    full_tbl = synth_docs_table(300)
+    # deterministic split: every 7th row is the delta (cuts across
+    # entities, so some delta docs must join existing clusters)
+    mask = pa.array([i % 7 == 0 for i in range(full_tbl.num_rows)])
+    new_tbl = full_tbl.filter(mask)
+    old_tbl = full_tbl.filter(pc.invert(mask))
+    old_docs = rd.from_arrow(old_tbl)
+    new_docs = rd.from_arrow(new_tbl)
+    df = full_tbl.select(["doc_id"]).to_pandas()
+    cfg = LinkageConfig(num_partitions=4)
+
+    old_clusters = run_linkage(old_docs, cfg)
+    inc = run_linkage_incremental(old_clusters, old_docs, new_docs, cfg)
+    gold = rd.from_arrow(truth_pairs(300))
+    m = pairwise_f1(inc, gold, num_partitions=4)
+    assert m["f1"] >= 0.99, m
+
+    # every doc present exactly once; new docs appear
+    inc_df = inc.to_pandas()
+    assert len(inc_df) == len(df)
+    assert set(inc_df["doc_id"]) == set(df["doc_id"])
+
+    # old components never split: docs clustered together before stay
+    # together after the delta fold
+    old_df = old_clusters.to_pandas()
+    merged = old_df.merge(inc_df, on="doc_id", suffixes=("_old", "_inc"))
+    for _, g in merged.groupby("entity_id_old"):
+        assert g["entity_id_inc"].nunique() == 1
