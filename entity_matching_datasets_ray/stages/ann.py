@@ -102,7 +102,7 @@ def ivf_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_centroids: int = 16,
+    num_centroids: int | None = None,
     nprobe: int = 4,
     num_partitions: int = 8,
 ):
@@ -112,9 +112,15 @@ def ivf_topk(
     centroid; each query scans only its ``nprobe`` nearest centroid
     cells. The centroid matrix is tiny and travels by closure; cell
     assignment is a vectorized matmul per batch.
+
+    ``num_centroids`` defaults to ~sqrt(corpus size) (the standard IVF
+    sizing: cell scan cost ~ n/sqrt(n) per probe), clamped to [16, 4096].
     """
     import ray
 
+    if num_centroids is None:
+        n_corpus = ds.count()
+        num_centroids = int(min(4096, max(16, round(n_corpus ** 0.5))))
     seed_rows = ds.sort(id_col).limit(num_centroids).to_pandas()
     C = _normalize(np.stack(seed_rows[vec_col].to_numpy()).astype(np.float32))
     # one refinement pass over a bounded sample (deterministic: first rows)

@@ -122,38 +122,39 @@ def fingerprint_dedup(ds, id_col: str = "doc_id", text_col: str = "text", num_pa
 # --------------------------------------------------------------------------
 
 
-class _MinHashBands:
-    """Actor: text -> (id, band) rows (shingle -> minhash -> band)."""
+def make_minhash_bands_fn(id_col, text_col, num_perm, num_bands, shingle_n, seed):
+    """text batch -> (id, band) rows (shingle -> minhash -> band).
 
-    def __init__(self, id_col, text_col, num_perm, num_bands, shingle_n, seed):
-        self.id_col = id_col
-        self.text_col = text_col
-        self.a, self.b = make_perm_params(num_perm, seed)
-        self.num_bands = num_bands
-        self.rows_per_band = num_perm // num_bands
-        self.shingle_n = shingle_n
+    A plain task-pool closure, not an actor class: the permutation params
+    are a pure function of the seed (re-derived per task for pennies), so
+    there is no per-worker state worth an actor pool's cold-start cost —
+    warm Ray workers pick tasks up immediately."""
+    rows_per_band = num_perm // num_bands
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column(self.id_col).to_pylist()
-        texts = batch.column(self.text_col).to_pylist()
+    def bands_fn(batch: pa.Table) -> pa.Table:
+        a, b = make_perm_params(num_perm, seed)
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
         hash_lists = [
-            token_hashes(sorted(ngram_shingles((s or "").lower(), self.shingle_n)))
+            token_hashes(sorted(ngram_shingles((s or "").lower(), shingle_n)))
             for s in texts
         ]
-        sigs = minhash_signature_matrix(hash_lists, self.a, self.b)
+        sigs = minhash_signature_matrix(hash_lists, a, b)
         out_ids, out_band = [], []
         for i, did in enumerate(ids):
             if hash_lists[i].size == 0:
                 continue
-            for bk in band_keys(sigs[i], self.num_bands, self.rows_per_band):
+            for bk in band_keys(sigs[i], num_bands, rows_per_band):
                 out_ids.append(did)
                 out_band.append(bk)
         return pa.table(
             {
-                "doc_id": pa.array(out_ids, type=batch.schema.field(self.id_col).type),
+                "doc_id": pa.array(out_ids, type=batch.schema.field(id_col).type),
                 "band": pa.array(out_band, pa.uint64()),
             }
         )
+
+    return bands_fn
 
 
 def _band_candidates(bands, num_buckets: int, num_partitions: int | None, max_pairs_per_block: int = 20000):
@@ -271,15 +272,19 @@ def minhash_candidate_pairs(
     num_partitions: int | None = 16,
     num_buckets: int = DEFAULT_NUM_BUCKETS,
     max_pairs_per_block: int = 20000,
-    concurrency=(1, 4),
+    concurrency=(1, 8),
 ):
     """Unverified LSH candidate pairs (left_id, right_id, overflow)."""
-    bands = ds.select_columns([id_col, text_col]).map_batches(
-        _MinHashBands,
-        fn_constructor_args=(id_col, text_col, num_perm, num_bands, shingle_n, seed),
+    # actor-pool tasks are BLOCK-granular: a single-file parquet read is one
+    # block, which would serialize the whole shingling stage onto one actor.
+    # repartition (split, not shuffle) first; at scale the input already has
+    # many blocks and this is a cheap no-op-ish split.
+    hi = concurrency[1] if isinstance(concurrency, tuple) else int(concurrency or 8)
+    src = ds.select_columns([id_col, text_col]).repartition(max(2 * hi, num_partitions or 0))
+    bands = src.map_batches(
+        make_minhash_bands_fn(id_col, text_col, num_perm, num_bands, shingle_n, seed),
         batch_format="pyarrow",
         batch_size=2048,
-        concurrency=concurrency,
     )
     return _band_candidates(bands, num_buckets, num_partitions, max_pairs_per_block)
 
@@ -298,6 +303,7 @@ def minhash_dedup_pairs(
     max_pairs_per_block: int = 20000,
     n_docs: int | None = None,
     attach_strategy: str = "auto",
+    concurrency=(1, 8),
 ):
     """Verified near-duplicate pairs via MinHash-LSH + exact Jaccard.
 
@@ -309,6 +315,7 @@ def minhash_dedup_pairs(
     cands = minhash_candidate_pairs(
         ds, id_col, text_col, num_perm, num_bands, shingle_n, seed,
         num_partitions, num_buckets, max_pairs_per_block,
+        concurrency=concurrency,
     )
     if attach_strategy == "auto":
         if n_docs is None:
@@ -318,12 +325,15 @@ def minhash_dedup_pairs(
     if attach_strategy == "broadcast":
         tdf = ds.select_columns([id_col, text_col]).to_pandas()
         texts_ref = ray.put(dict(zip(tdf[id_col], tdf[text_col])))
+        def verify_task(batch: pd.DataFrame) -> pd.DataFrame:
+            # plain task: warm workers, no actor cold-start; the broadcast
+            # dict deserializes once per task (small by construction here)
+            return _JaccardVerify(threshold, shingle_n, texts_ref)(batch)
+
         return cands.select_columns(["left_id", "right_id"]).map_batches(
-            _JaccardVerify,
-            fn_constructor_args=(threshold, shingle_n, texts_ref),
+            verify_task,
             batch_format="pandas",
             batch_size=2048,
-            concurrency=(1, 4),
         )
 
     withtext = _attach_texts(
@@ -335,7 +345,7 @@ def minhash_dedup_pairs(
         fn_constructor_args=(threshold, shingle_n),
         batch_format="pandas",
         batch_size=2048,
-        concurrency=(1, 4),
+        concurrency=concurrency,
     )
 
 
@@ -398,7 +408,11 @@ def simhash_dedup_pairs(
             }
         )
 
-    sims = ds.select_columns([id_col, text_col]).map_batches(add_sim, batch_format="pyarrow")
+    sims = (
+        ds.select_columns([id_col, text_col])
+        .repartition(max(16, num_partitions or 0))
+        .map_batches(add_sim, batch_format="pyarrow")
+    )
 
     bits = 64 // num_chunks
 
@@ -530,7 +544,11 @@ def embedding_dedup_pairs(
             }
         )
 
-    sigs = ds.select_columns([id_col, vec_col]).map_batches(add_sig, batch_format="pyarrow")
+    sigs = (
+        ds.select_columns([id_col, vec_col])
+        .repartition(max(16, num_partitions or 0))
+        .map_batches(add_sig, batch_format="pyarrow")
+    )
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         left, right, cos = [], [], []
