@@ -73,3 +73,30 @@ def test_eval_log_reader(tmp_path):
     df = D.read_eval_log(str(p)).to_pandas()
     assert list(df.columns) == ["gold", "pred", "result", "probability", "text_left", "text_right"]
     assert len(df) == 2
+
+
+def test_docs_io_parquet_roundtrip(tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.sources.docs_io import read_docs, write_docs
+    from entity_matching_datasets_ray.synth import synth_docs_table
+
+    tbl = synth_docs_table(20)
+    out = str(tmp_path / "docs")
+    write_docs(rd.from_arrow(tbl), out)
+    back = read_docs(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    orig = tbl.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(back["doc_id"]) == list(orig["doc_id"])
+    # span sequence survives the round trip
+    assert [list(s) for s in back["spans"].map(len)] == [list(s) for s in orig["spans"].map(len)] or \
+        back["spans"].map(len).tolist() == orig["spans"].map(len).tolist()
+
+
+def test_docs_io_lance_gate():
+    import pytest
+
+    from entity_matching_datasets_ray.sources.docs_io import read_docs
+
+    with pytest.raises(ImportError, match="lance"):
+        read_docs("/tmp/nonexistent.lance")
