@@ -243,6 +243,43 @@ def _ann_lsh(sf_dir: str):
     return out.select_columns(["query_id", "match_id"]).sort(["query_id", "match_id"])
 
 
+def _ann_planted(sf_dir: str, kind: str):
+    """ANN twin-recovery oracle: queries are EXACT copies of the first 20
+    corpus vectors (query_id = vec_id + 1e6); any ANN method that works
+    must rank the twin (cosine exactly 1.0) in its top-k whenever it scans
+    the twin's bucket/cell — the result filtered to twin hits is therefore
+    SQL-derivable from the id column. Checks bucketing + scan + merge end
+    to end for the approximate methods."""
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.stages.ann import ivf_topk, lsh_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = ds.sort("vec_id").limit(20).to_pandas()
+    qids = (q["vec_id"] + 1_000_000).tolist()
+    qvecs = np.stack(q["embedding"].to_numpy())
+    fn = lsh_topk if kind == "lsh" else ivf_topk
+    out = fn(ds, qids, qvecs, k=10)
+
+    def twins(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.equal(
+            pc.add(t["match_id"], pa.scalar(1_000_000, pa.int64())), t["query_id"]
+        )
+        return t.filter(mask).select(["query_id", "match_id"])
+
+    return out.map_batches(twins, batch_format="pyarrow").sort("query_id")
+
+
+def _ann_lsh_planted(sf_dir: str):
+    return _ann_planted(sf_dir, "lsh")
+
+
+def _ann_ivf_planted(sf_dir: str):
+    return _ann_planted(sf_dir, "ivf")
+
+
 def _token_counts_documents(sf_dir: str):
     import ray.data as rd
 
@@ -409,6 +446,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_bruteforce": _ann_bruteforce,
         "ann_lsh": _ann_lsh,
         "ann_ivf": _ann_ivf,
+        "ann_lsh_planted": _ann_lsh_planted,
+        "ann_ivf_planted": _ann_ivf_planted,
         "annotate_documents": _annotate_documents,
         "langid_histogram": _langid_histogram,
         "media_features": _media_features,
@@ -587,6 +626,17 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, match_id FROM scored WHERE rn <= 10
             ORDER BY query_id, match_id
+        """,
+        # ANN twin recovery: an exact duplicate query must surface its twin
+        "ann_lsh_planted": """
+            SELECT vec_id + 1000000 AS query_id, vec_id AS match_id
+            FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 20)
+            ORDER BY query_id
+        """,
+        "ann_ivf_planted": """
+            SELECT vec_id + 1000000 AS query_id, vec_id AS match_id
+            FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 20)
+            ORDER BY query_id
         """,
         "media_features": """
             SELECT 'doc:' || lpad(CAST(doc_id AS VARCHAR), 10, '0') AS doc_id,
