@@ -423,6 +423,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": R.q_revenue_by_nation,
         "segment_counts": R.q_segment_counts,
         "events_hourly": R.q_events_hourly,
+        "events_sliding_3h": R.q_events_sliding_3h,
+        "events_lag": R.q_events_lag,
+        "events_asof": R.q_events_asof,
         "part_type_stats": R.q_part_type_stats,
         "distinct_langs": R.q_distinct_langs,
         "customer_order_stats": R.q_customer_order_stats,
@@ -504,6 +507,34 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY event_type, date_trunc('hour', ts)
             ORDER BY event_type, ts_hour
+        """,
+        # hopping-window aggregate: each row contributes to the 3 hop-
+        # aligned windows covering it (same flat-map formulation)
+        "events_sliding_3h": """
+            SELECT event_type, window_start,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+            FROM (
+                SELECT event_type, value,
+                       date_trunc('hour', ts) - to_hours(k) AS window_start
+                FROM events CROSS JOIN (VALUES (0), (1), (2)) t(k)
+            )
+            GROUP BY event_type, window_start
+            ORDER BY event_type, window_start
+        """,
+        "events_lag": """
+            SELECT event_id, event_type, ts,
+                   lag(event_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_event_id,
+                   lag(value)    OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_value
+            FROM events
+            ORDER BY event_id
+        """,
+        "events_asof": """
+            SELECT p.event_id, p.ts, c.event_id AS asof_event_id
+            FROM (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT event_id, ts FROM events WHERE event_type = 'click') c
+              ON c.ts <= p.ts
+            ORDER BY p.event_id
         """,
         "part_type_stats": """
             SELECT p_type,

@@ -343,6 +343,51 @@ def q_customers_without_orders(sf_dir: str):
     return anti_join(cust, orders, on="c_custkey", right_on="o_custkey").sort("c_custkey")
 
 
+def q_events_sliding_3h(sf_dir: str):
+    """Sliding (hopping) window aggregate: 3-hour window, 1-hour hop, per
+    event type (stages/windows.py::sliding_window_agg — flat-map into
+    covering windows + exact-cents groupby)."""
+    from ..stages.windows import sliding_window_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    return sliding_window_agg(ds, "ts", ["event_type"], "value", 3, 1).sort(
+        ["event_type", "window_start"]
+    )
+
+
+def q_events_lag(sf_dir: str):
+    """Partitioned lag: previous event (id, value) within each event type
+    ordered by (ts, event_id) — SQL LAG() OVER (PARTITION BY ...)."""
+    from ..stages.windows import lag_partitioned
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "ts", "value"])
+    return lag_partitioned(ds, "event_type", "ts", "event_id", "value").sort("event_id")
+
+
+def q_events_asof(sf_dir: str):
+    """Distributed as-of join: every purchase event gets the latest click
+    event at-or-before its timestamp (stages/windows.py::asof_join —
+    global sort + per-block backward fill + one carry row per block)."""
+    from ..stages.windows import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "ts"])
+    purchases = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], pa.scalar("purchase"))).select(
+            ["event_id", "ts"]
+        ),
+        batch_format="pyarrow",
+    )
+    clicks = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], pa.scalar("click"))).select(
+            ["event_id", "ts"]
+        ),
+        batch_format="pyarrow",
+    )
+    return asof_join(
+        purchases, clicks, "ts", "ts", ["event_id"], ["event_id"], num_partitions=8
+    ).sort("event_id")
+
+
 def q_lineitem_filter_project(sf_dir: str):
     """Vectorized filter + projection: high-discount lines."""
     ds = _read(

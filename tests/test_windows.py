@@ -1,0 +1,101 @@
+"""Time-ordered operator tests: sliding windows, partitioned lag, as-of
+join — each against an in-memory brute-force reference, across
+partitionings (the as-of boundary exchange must be exact)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from entity_matching_datasets_ray.stages.windows import (
+    asof_join,
+    lag_partitioned,
+    sliding_window_agg,
+)
+
+
+@pytest.fixture(scope="module")
+def events():
+    rng = np.random.RandomState(9)
+    n = 500
+    ts = pd.Timestamp("2024-03-01") + pd.to_timedelta(
+        np.sort(rng.choice(10 * 24 * 3600, n, replace=False)), unit="s"
+    )
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "event_type": rng.choice(["a", "b", "c"], n),
+            "ts": ts,
+            "value": np.round(rng.uniform(0, 100, n), 2),
+        }
+    )
+
+
+def test_sliding_window_matches_bruteforce(events):
+    out = (
+        sliding_window_agg(rd.from_pandas(events), "ts", ["event_type"], "value", 3, 1)
+        .to_pandas()
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
+    # brute force: window covers t iff start <= t < start + 3h
+    rows = []
+    for _, r in events.iterrows():
+        base = r.ts.floor("h")
+        for i in range(3):
+            rows.append((r.event_type, base - pd.Timedelta(hours=i), r.value))
+    bf = (
+        pd.DataFrame(rows, columns=["event_type", "window_start", "value"])
+        .groupby(["event_type", "window_start"])
+        .agg(n_events=("value", "size"), sum_value=("value", "sum"))
+        .reset_index()
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(bf)
+    assert (out["n_events"].to_numpy() == bf["n_events"].to_numpy()).all()
+    assert np.allclose(out["sum_value"], bf["sum_value"], atol=1e-9)
+
+
+def test_lag_matches_pandas(events):
+    out = (
+        lag_partitioned(rd.from_pandas(events), "event_type", "ts", "event_id", "value")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    bf = events.sort_values(["ts", "event_id"]).copy()
+    bf["prev_event_id"] = bf.groupby("event_type")["event_id"].shift(1)
+    bf["prev_value"] = bf.groupby("event_type")["value"].shift(1)
+    bf = bf.sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_series_equal(out["prev_event_id"], bf["prev_event_id"], check_names=False)
+    pd.testing.assert_series_equal(out["prev_value"], bf["prev_value"], check_names=False)
+
+
+@pytest.mark.parametrize("parts", [2, 7])
+def test_asof_join_matches_bruteforce(events, parts):
+    probe = events[events.event_type == "a"][["event_id", "ts"]]
+    build = events[events.event_type == "b"][["event_id", "ts"]]
+    out = (
+        asof_join(
+            rd.from_pandas(probe.reset_index(drop=True)),
+            rd.from_pandas(build.reset_index(drop=True)),
+            "ts", "ts", ["event_id"], ["event_id"], num_partitions=parts,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    bts = build["ts"].to_numpy()
+    bid = build["event_id"].to_numpy()
+    expected = []
+    for _, r in probe.iterrows():
+        mask = bts <= r.ts.to_datetime64()
+        expected.append(float(bid[mask][-1]) if mask.any() else np.nan)
+    got = out["asof_event_id"].to_numpy()
+    exp = np.asarray(expected)
+    assert len(got) == len(exp)
+    assert np.allclose(got, exp, equal_nan=True)
