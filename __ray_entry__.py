@@ -300,6 +300,26 @@ def _annotate_documents(sf_dir: str):
     ).sort("doc_id")
 
 
+def _chunk_documents(sf_dir: str):
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.stages.text_analysis import chunk_documents
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return chunk_documents(ds, chunk_tokens=32, overlap_tokens=8).sort(
+        ["doc_id", "chunk_index"]
+    )
+
+
+def _quality_filter_documents(sf_dir: str):
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.stages.text_analysis import quality_filter
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return quality_filter(ds, min_quality=0.5, langs=("en",)).sort("doc_id")
+
+
 def _langid_histogram(sf_dir: str):
     import ray.data as rd
 
@@ -453,6 +473,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_planted": _ann_ivf_planted,
         "annotate_documents": _annotate_documents,
         "langid_histogram": _langid_histogram,
+        "chunk_documents": _chunk_documents,
+        "quality_filter_documents": _quality_filter_documents,
         "media_features": _media_features,
         "ditto_convert": _ditto_convert,
         "enrich_beer": _enrich_beer,
@@ -703,6 +725,68 @@ def oracle_sql() -> dict[str, str]:
               )
             )
             GROUP BY lang_pred ORDER BY lang_pred
+        """,
+        # overlapping token-window chunker: starts at 0, stride 24 (=32-8),
+        # last partial chunk kept; chunk count mirrors the engine loop
+        "chunk_documents": """
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                FROM documents
+            ), sized AS (
+                SELECT doc_id, toks, len(toks) AS n,
+                       CASE WHEN len(toks) <= 32 THEN 1
+                            ELSE CAST(ceil((len(toks) - 32) / 24.0) AS BIGINT) + 1
+                       END AS n_chunks
+                FROM d WHERE len(toks) > 0
+            )
+            SELECT doc_id,
+                   CAST(i AS BIGINT) AS chunk_index,
+                   array_to_string(toks[(i * 24 + 1):(i * 24 + 32)], ' ') AS chunk_text,
+                   len(toks[(i * 24 + 1):(i * 24 + 32)]) AS n_chunk_tokens
+            FROM sized, LATERAL unnest(range(n_chunks)) AS u(i)
+            ORDER BY doc_id, chunk_index
+        """,
+        "quality_filter_documents": """
+            SELECT doc_id, lang_pred, quality_score FROM (
+              SELECT doc_id,
+                   CASE WHEN greatest(en, de, fr, es, it) = 0 THEN 'und'
+                        WHEN en = greatest(en, de, fr, es, it) THEN 'en'
+                        WHEN de = greatest(en, de, fr, es, it) THEN 'de'
+                        WHEN fr = greatest(en, de, fr, es, it) THEN 'fr'
+                        WHEN es = greatest(en, de, fr, es, it) THEN 'es'
+                        ELSE 'it' END AS lang_pred,
+                   least(1.0, greatest(0.0,
+                       CASE WHEN n_words >= 5 THEN 0.25 ELSE 0.0 END
+                       + CASE WHEN n_words > 0
+                              AND n_alpha / CAST(n_words AS DOUBLE) >= 3.0
+                              AND n_alpha / CAST(n_words AS DOUBLE) <= 10.0
+                              THEN 0.25 ELSE 0.0 END
+                       + 0.25 * least(1.0,
+                            (CASE WHEN n_words > 0
+                                  THEN stops / CAST(n_words AS DOUBLE)
+                                  ELSE 0.0 END) / 0.1)
+                       + 0.25 * (n_alpha / CAST(n AS DOUBLE))
+                   )) AS quality_score
+              FROM (
+                SELECT doc_id, n, n_alpha, len(ws) AS n_words,
+                  len(list_filter(ws, w -> w IN ('the','and','of','to','a','in','is','that','it','for','was','with'))) AS stops,
+                  len(list_filter(ws, w -> w IN ('the','and','of','to','a','in','is','that','it','for','was','with'))) AS en,
+                  len(list_filter(ws, w -> w IN ('der','die','das','und','ist','nicht','ein','eine','zu','mit','von'))) AS de,
+                  len(list_filter(ws, w -> w IN ('le','la','les','et','est','une','un','pas','pour','que','dans'))) AS fr,
+                  len(list_filter(ws, w -> w IN ('el','la','los','las','y','es','un','una','que','por','con','para'))) AS es,
+                  len(list_filter(ws, w -> w IN ('il','la','che','di','e','un','una','per','non','sono','con'))) AS it
+                FROM (
+                  SELECT doc_id, length(text) AS n,
+                         length(replace(text, ' ', '')) AS n_alpha,
+                         list_transform(regexp_extract_all(text, '[a-zA-Z]+'),
+                                        w -> lower(w)) AS ws
+                  FROM documents
+                )
+              )
+            )
+            WHERE quality_score >= 0.5 AND lang_pred = 'en'
+            ORDER BY doc_id
         """,
         "annotate_documents": """
             SELECT doc_id,

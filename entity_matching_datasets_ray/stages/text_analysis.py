@@ -65,6 +65,88 @@ def token_counts(ds, id_col: str = "doc_id", text_col: str = "text"):
     return ds.select_columns([id_col, text_col]).map_batches(count, batch_format="pyarrow")
 
 
+def chunk_documents(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap_tokens: int = 16,
+):
+    """Split documents into overlapping token-window chunks (the standard
+    pretraining-corpus chunker): chunk i covers whitespace tokens
+    [i*stride, i*stride + chunk_tokens), stride = chunk - overlap; the
+    final partial chunk is kept. Pure flat-map — streams at any scale.
+
+    Output: (id, chunk_index, chunk_text, n_chunk_tokens).
+    """
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk")
+    stride = chunk_tokens - overlap_tokens
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        texts = t.column(text_col).to_pylist()
+        out_id, out_ix, out_txt, out_n = [], [], [], []
+        for i, s in zip(ids, texts):
+            toks = (s or "").split()
+            if not toks:
+                continue
+            start = 0
+            ix = 0
+            while start < len(toks):
+                piece = toks[start : start + chunk_tokens]
+                out_id.append(i)
+                out_ix.append(ix)
+                out_txt.append(" ".join(piece))
+                out_n.append(len(piece))
+                if start + chunk_tokens >= len(toks):
+                    break
+                start += stride
+                ix += 1
+        return pa.table(
+            {
+                id_col: pa.array(out_id, type=t.schema.field(id_col).type),
+                "chunk_index": pa.array(out_ix, pa.int64()),
+                "chunk_text": pa.array(out_txt, pa.string()),
+                "n_chunk_tokens": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(explode, batch_format="pyarrow")
+
+
+def quality_filter(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    langs: tuple[str, ...] | None = None,
+):
+    """C4/Gopher-style corpus hygiene filter: keep documents whose quality
+    score clears ``min_quality`` (and optionally whose detected language is
+    allowed). One fused vectorized pass; emits (id, lang_pred,
+    quality_score) for the survivors."""
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        langs_pred = [detect_language(s) for s in texts]
+        quals = [quality_features(s)["quality_score"] for s in texts]
+        keep = [
+            q >= min_quality and (langs is None or lg in langs)
+            for q, lg in zip(quals, langs_pred)
+        ]
+        out = pa.table(
+            {
+                id_col: t.column(id_col),
+                "lang_pred": pa.array(langs_pred, pa.string()),
+                "quality_score": pa.array(quals, pa.float64()),
+            }
+        )
+        return out.filter(pa.array(keep, pa.bool_()))
+
+    return ds.select_columns([id_col, text_col]).map_batches(f, batch_format="pyarrow")
+
+
 def language_histogram(ds, text_col: str = "text", num_partitions: int | None = None):
     """Detected-language distribution: per-batch partial counts -> tiny
     groupby sum (no full-row shuffle)."""

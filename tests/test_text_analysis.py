@@ -74,3 +74,57 @@ def test_language_histogram(docs_ds):
     out = language_histogram(docs_ds).to_pandas()
     hist = dict(zip(out.lang_pred, out.n))
     assert hist == {"en": 2, "de": 1}
+
+
+def test_chunk_documents_overlap_and_tail():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.stages.text_analysis import chunk_documents
+
+    toks = [f"t{i}" for i in range(10)]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": [" ".join(toks), "short doc", ""],
+            }
+        )
+    )
+    out = (
+        chunk_documents(ds, chunk_tokens=4, overlap_tokens=1)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_index"])
+        .reset_index(drop=True)
+    )
+    d1 = out[out.doc_id == 1]
+    # stride 3: starts 0,3,6 (6+4 >= 10 stops)
+    assert d1["chunk_text"].tolist() == [
+        "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9",
+    ]
+    assert d1["n_chunk_tokens"].tolist() == [4, 4, 4]
+    # overlap: last token of chunk i == first token of chunk i+1
+    assert out[out.doc_id == 2]["chunk_text"].tolist() == ["short doc"]
+    assert 3 not in set(out["doc_id"])  # empty doc emits nothing
+
+
+def test_quality_filter():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.stages.text_analysis import quality_filter
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": [
+                    "the quick brown fox and the lazy dog in a sunny field of grass",
+                    "x",
+                ],
+            }
+        )
+    )
+    out = quality_filter(ds, min_quality=0.5, langs=("en",)).to_pandas()
+    assert out["doc_id"].tolist() == [1]
+    assert out["lang_pred"].tolist() == ["en"]
