@@ -88,9 +88,13 @@ def test_docs_io_parquet_roundtrip(tmp_path):
     back = read_docs(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
     orig = tbl.to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert list(back["doc_id"]) == list(orig["doc_id"])
-    # span sequence survives the round trip
-    assert [list(s) for s in back["spans"].map(len)] == [list(s) for s in orig["spans"].map(len)] or \
-        back["spans"].map(len).tolist() == orig["spans"].map(len).tolist()
+    # span sequence (kind, text, media_ref, offset) survives the round trip
+    assert back["spans"].map(len).tolist() == orig["spans"].map(len).tolist()
+    for bs, os_ in zip(back["spans"], orig["spans"]):
+        for b, o in zip(bs, os_):
+            assert (b["kind"], b["text"], b["media_ref"], b["offset"]) == (
+                o["kind"], o["text"], o["media_ref"], o["offset"]
+            )
 
 
 def test_docs_io_lance_gate():
