@@ -94,6 +94,67 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_annotate(args) -> int:
+    import ray.data as rd
+
+    from .stages.text_analysis import annotate_documents
+
+    ds = rd.read_parquet(args.input, columns=[args.id_col, args.text_col])
+    out = annotate_documents(ds, id_col=args.id_col, text_col=args.text_col)
+    out.write_parquet(args.output)
+    print(f"annotated: {out.count()} -> {args.output}")
+    return 0
+
+
+def cmd_chunk(args) -> int:
+    import ray.data as rd
+
+    from .stages.text_analysis import chunk_documents
+
+    ds = rd.read_parquet(args.input, columns=[args.id_col, args.text_col])
+    out = chunk_documents(
+        ds, id_col=args.id_col, text_col=args.text_col,
+        chunk_tokens=args.chunk_tokens, overlap_tokens=args.overlap,
+    )
+    out.write_parquet(args.output)
+    print(f"chunks: {out.count()} -> {args.output}")
+    return 0
+
+
+def cmd_link_delta(args) -> int:
+    """Fold a delta of new docs into existing clusters (incremental)."""
+    import ray.data as rd
+
+    from .pipelines.linkage import LinkageConfig, run_linkage_incremental
+
+    clusters = rd.read_parquet(args.clusters)
+    old_docs = rd.read_parquet(args.old_docs)
+    new_docs = rd.read_parquet(args.new_docs)
+    cfg = LinkageConfig(threshold=args.threshold, num_partitions=args.partitions)
+    merged = run_linkage_incremental(clusters, old_docs, new_docs, cfg)
+    merged.write_parquet(args.output)
+    print(f"clusters after delta: {merged.count()} rows -> {args.output}")
+    return 0
+
+
+def cmd_ann(args) -> int:
+    import numpy as np
+    import ray.data as rd
+
+    from .stages.ann import brute_force_topk, ivf_topk, lsh_topk
+
+    ds = rd.read_parquet(args.input, columns=[args.id_col, args.vec_col])
+    q = ds.sort(args.id_col).limit(args.n_queries).to_pandas()
+    fn = {"brute": brute_force_topk, "lsh": lsh_topk, "ivf": ivf_topk}[args.method]
+    out = fn(
+        ds, q[args.id_col].tolist(), np.stack(q[args.vec_col].to_numpy()),
+        k=args.k, id_col=args.id_col, vec_col=args.vec_col,
+    )
+    out.write_parquet(args.output)
+    print(f"matches: {out.count()} -> {args.output}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="entity_matching_datasets_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -126,6 +187,41 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--text-col", default="text")
     d.add_argument("--threshold", type=float, default=0.8)
     d.set_defaults(fn=cmd_dedup)
+
+    a = sub.add_parser("annotate", help="langid/quality/tokens/fingerprint per doc")
+    a.add_argument("input")
+    a.add_argument("output")
+    a.add_argument("--id-col", default="doc_id")
+    a.add_argument("--text-col", default="text")
+    a.set_defaults(fn=cmd_annotate)
+
+    ch = sub.add_parser("chunk", help="overlapping token-window chunks")
+    ch.add_argument("input")
+    ch.add_argument("output")
+    ch.add_argument("--id-col", default="doc_id")
+    ch.add_argument("--text-col", default="text")
+    ch.add_argument("--chunk-tokens", type=int, default=512)
+    ch.add_argument("--overlap", type=int, default=64)
+    ch.set_defaults(fn=cmd_chunk)
+
+    ld = sub.add_parser("link-delta", help="fold new docs into existing clusters")
+    ld.add_argument("clusters")
+    ld.add_argument("old_docs")
+    ld.add_argument("new_docs")
+    ld.add_argument("output")
+    ld.add_argument("--threshold", type=float, default=0.7)
+    ld.add_argument("--partitions", type=int, default=16)
+    ld.set_defaults(fn=cmd_link_delta)
+
+    an = sub.add_parser("ann", help="top-k similarity search over embeddings")
+    an.add_argument("input")
+    an.add_argument("output")
+    an.add_argument("--method", choices=["brute", "lsh", "ivf"], default="brute")
+    an.add_argument("--id-col", default="vec_id")
+    an.add_argument("--vec-col", default="embedding")
+    an.add_argument("--k", type=int, default=10)
+    an.add_argument("--n-queries", type=int, default=5)
+    an.set_defaults(fn=cmd_ann)
 
     args = p.parse_args(argv)
     _init_ray(args.num_cpus)

@@ -46,3 +46,22 @@ def test_enrich_unknown_spec(tmp_path):
     src = tmp_path / "x.csv"
     src.write_text("id,label\n1,0\n")
     assert cli.main(["enrich", "nope", str(src), str(tmp_path / "o")]) == 2
+
+
+def test_chunk_and_annotate(tmp_path):
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": ["the quick brown fox jumps over the lazy dog", "hello world"],
+        }
+    )
+    src = tmp_path / "docs.parquet"
+    pq.write_table(docs, str(src))
+    out1 = tmp_path / "chunks"
+    assert cli.main(["chunk", str(src), str(out1), "--chunk-tokens", "4", "--overlap", "1"]) == 0
+    t = pq.read_table(str(out1))
+    assert set(t.column_names) == {"doc_id", "chunk_index", "chunk_text", "n_chunk_tokens"}
+    out2 = tmp_path / "annot"
+    assert cli.main(["annotate", str(src), str(out2)]) == 0
+    t2 = pq.read_table(str(out2))
+    assert "lang_pred" in t2.column_names and "quality_score" in t2.column_names
