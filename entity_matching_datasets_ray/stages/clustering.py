@@ -181,6 +181,9 @@ def connected_components_distributed(
         cur.map_batches(to_labels, batch_format="pyarrow")
         .groupby("doc_id", num_partitions=num_partitions)
         .aggregate(Min("entity_id", alias_name="entity_id"))
+        # labels (one row per clustered doc) are consumed by the singleton
+        # join and often counted; pin so CC never re-runs per consumer
+        .materialize()
     )
 
 
@@ -225,6 +228,19 @@ def connected_components(
     """Dispatch: distributed star contraction, or driver union-find when the
     matched-edge set fits comfortably in one process."""
     n = edges.count()
+    if n == 0:
+        # no matches at all: empty label table WITH schema (an empty
+        # pandas frame loses its columns through from_pandas, breaking
+        # the downstream singleton left-join)
+        import ray.data as rd
+
+        try:
+            t = edges.schema().base_schema.field("left_id").type
+        except Exception:
+            t = pa.string()
+        return rd.from_arrow(
+            pa.table({"doc_id": pa.array([], t), "entity_id": pa.array([], t)})
+        )
     if n <= driver_threshold:
         import ray.data as rd
 
@@ -238,6 +254,13 @@ def attach_singletons(labels, entities, num_partitions: int = 16):
     """Docs that matched nothing become their own cluster (entity_id =
     doc_id): left join entities -> labels, fill null."""
     ids = entities.select_columns(["doc_id"])
+    if labels.count() == 0:
+        # Ray's hash-shuffle join chokes on an all-empty side even with a
+        # typed schema; an edgeless corpus is all singletons directly.
+        return ids.map_batches(
+            lambda t: pa.table({"doc_id": t["doc_id"], "entity_id": t["doc_id"]}),
+            batch_format="pyarrow",
+        )
     joined = ids.join(
         labels, join_type="left_outer", num_partitions=num_partitions, on=("doc_id",)
     )

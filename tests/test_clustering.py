@@ -70,3 +70,24 @@ def test_attach_singletons():
     out = attach_singletons(rd.from_pandas(labels), ents, num_partitions=2).to_pandas()
     m = dict(zip(out.doc_id, out.entity_id))
     assert m == {"a": "a", "b": "a", "c": "c"}
+
+
+def test_no_match_corpus_all_singletons():
+    """A corpus where nothing matches must produce one singleton cluster
+    per doc, not crash on the empty edge set (r2 streaming-fold bug)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.stages.clustering import (
+        attach_singletons,
+        connected_components,
+    )
+
+    edges = rd.from_arrow(
+        pa.table({"left_id": pa.array([], pa.string()), "right_id": pa.array([], pa.string())})
+    )
+    entities = rd.from_arrow(pa.table({"doc_id": pa.array(["a", "b", "c"])}))
+    labels = connected_components(edges, num_partitions=2)
+    out = attach_singletons(labels, entities, num_partitions=2).to_pandas()
+    assert sorted(out["doc_id"]) == ["a", "b", "c"]
+    assert (out["doc_id"] == out["entity_id"]).all()
