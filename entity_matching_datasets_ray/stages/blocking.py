@@ -86,17 +86,15 @@ def _pairs_frame(left: list, right: list, src: str, overflow: int = 0) -> pd.Dat
 
 
 def _emit_all(ids, left: list, right: list):
+    """All unordered pairs of a sorted-ascending id block, vectorized
+    (np.triu_indices): ids[i] <= ids[j] for i < j, so orientation is free."""
     n = len(ids)
-    for i in range(n):
-        a = ids[i]
-        for j in range(i + 1, n):
-            b = ids[j]
-            if a <= b:
-                left.append(a)
-                right.append(b)
-            else:
-                left.append(b)
-                right.append(a)
+    if n < 2:
+        return
+    ii, jj = np.triu_indices(n, 1)
+    arr = np.asarray(ids)
+    left.extend(arr[ii].tolist())
+    right.extend(arr[jj].tolist())
 
 
 def _emit_window(ids, window: int, left: list, right: list):
