@@ -142,7 +142,7 @@ def asof_join(
         for c in probe_cols:
             cols[c] = t[c]
         for c in build_cols:
-            cols["b_" + c] = pa.nulls(t.num_rows, pa.float64() if c != "__never" else pa.float64())
+            cols["b_" + c] = pa.nulls(t.num_rows, pa.float64())
         return pa.table(cols)
 
     def tag_build(t: pa.Table) -> pa.Table:
