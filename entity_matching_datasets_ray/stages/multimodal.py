@@ -57,26 +57,49 @@ class MediaFeaturizer:
 
     ``__init__`` is where a real model/codec would load once per actor
     (SURVEY.md §2.3 A1); with ``decoder='fake'`` it compiles nothing and
-    features are a pure hash of the ref (stable across runs/workers)."""
+    features are a pure hash of the ref (stable across runs/workers).
 
-    def __init__(self, decoder: str = "fake"):
+    Per-item SEMANTIC retry + fallback (SURVEY.md §2.3 A3): unlike the
+    deterministic text kernels (where Ray task retries are the only
+    failure mode that matters), media decode hits transient IO/codec
+    errors at scale. Each ref is attempted ``retries + 1`` times; an item
+    that still fails gets the zero-vector fallback and is COUNTED in the
+    ``decode_failures`` metric column — the metered-not-silent rule."""
+
+    def __init__(self, decoder: str = "fake", retries: int = 2, decode_fn=None):
         if decoder not in ("fake", "real"):
             raise ValueError(decoder)
-        if decoder == "real":
+        if decoder == "real" and decode_fn is None:
             raise NotImplementedError(
                 "real image/audio decoding requires PIL/torchvision/librosa, "
-                "which are not installed in this environment; use decoder='fake'"
+                "which are not installed in this environment; use decoder='fake' "
+                "or inject decode_fn"
             )
         self.decoder = decoder
+        self.retries = retries
+        self.decode_fn = decode_fn or _fake_decode
+
+    def _decode_with_retry(self, ref: str) -> tuple[np.ndarray, int]:
+        for _attempt in range(self.retries + 1):
+            try:
+                return self.decode_fn(ref), 0
+            except Exception:
+                continue
+        return np.zeros(MEDIA_FEATURE_DIM, dtype=np.float32), 1
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         refs = batch.column("media_ref").to_pylist()
-        feats = np.stack([_fake_decode(r or "") for r in refs]) if refs else np.zeros(
-            (0, MEDIA_FEATURE_DIM), dtype=np.float32
+        failures = 0
+        rows = []
+        for r in refs:
+            vec, failed = self._decode_with_retry(r or "")
+            failures += failed
+            rows.append(vec.tolist())
+        out = batch.append_column(
+            "media_feature", pa.array(rows, pa.list_(pa.float32(), MEDIA_FEATURE_DIM))
         )
-        return batch.append_column(
-            "media_feature",
-            pa.array([row.tolist() for row in feats], pa.list_(pa.float32(), MEDIA_FEATURE_DIM)),
+        return out.append_column(
+            "decode_failures", pa.array([failures] * batch.num_rows, pa.int64())
         )
 
 

@@ -41,3 +41,37 @@ def test_real_decoder_is_stubbed():
         MediaFeaturizer(decoder="real")
     with pytest.raises(ValueError):
         MediaFeaturizer(decoder="bogus")
+
+
+def test_decode_retry_and_metered_fallback():
+    """Per-item semantic retry (A3): a transiently-failing decoder
+    succeeds within the retry budget; a permanently-failing ref falls back
+    to the zero vector with decode_failures metered, never silent."""
+    import numpy as np
+    import pyarrow as pa
+
+    from entity_matching_datasets_ray.stages.multimodal import (
+        MEDIA_FEATURE_DIM,
+        MediaFeaturizer,
+    )
+
+    calls = {}
+
+    def flaky(ref):
+        calls[ref] = calls.get(ref, 0) + 1
+        if ref == "always-bad":
+            raise IOError("corrupt")
+        if calls[ref] < 2:  # fails first attempt, succeeds on retry
+            raise IOError("transient")
+        return np.full(MEDIA_FEATURE_DIM, 7.0, dtype=np.float32)
+
+    f = MediaFeaturizer(decoder="real", retries=2, decode_fn=flaky)
+    batch = pa.table(
+        {"doc_id": ["a", "b"], "media_ref": ["ok-after-retry", "always-bad"]}
+    )
+    out = f(batch)
+    feats = out.column("media_feature").to_pylist()
+    assert feats[0][0] == 7.0  # recovered on retry
+    assert all(v == 0.0 for v in feats[1])  # fallback zero vector
+    assert out.column("decode_failures").to_pylist() == [1, 1]  # metered
+    assert calls["always-bad"] == 3  # retries + 1 attempts
