@@ -766,6 +766,13 @@ def candidate_pairs(
             "bucket", _u64_bucket(t.column("key64").combine_chunks(), num_buckets)
         )
 
+    # Ray coalesces small blocks toward its target block size, which can
+    # leave the whole key table in a handful of blocks — and the sort-based
+    # groupby shuffle inherits that, serializing per-bucket pair emission
+    # onto ~5 tasks (observed in ds.stats()). Split first: cheap, and at
+    # real scale the key table has plenty of blocks anyway.
+    keyed = keyed.repartition(max(num_partitions or 0, 2 * DEFAULT_NUM_BUCKETS // 4, 32))
+
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         left: list = []
         right: list = []
