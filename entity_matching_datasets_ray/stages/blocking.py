@@ -159,7 +159,7 @@ def _emit_capped_delta(ids, is_new, max_pairs: int, left: list, right: list) -> 
     window = max(1, max_pairs // (2 * n))
     hub = ids[0]
     for i in range(1, n):
-        if is_new[i] or i == 0:
+        if is_new[i]:
             left.append(hub)
             right.append(ids[i])
     _emit_window_delta(ids, is_new, window, left, right)
