@@ -59,6 +59,101 @@ DEFAULT_NUM_BUCKETS = 64
 _HASH_SEED = np.uint64(0x9E3779B97F4A7C15)
 
 
+# --------------------------------------------------------------------------
+# hot-key salting (north rule: "explicit salting of hot blocking keys")
+# --------------------------------------------------------------------------
+
+# A hot key's rows all land in ONE reduce group of the bucketed shuffle —
+# capped emission bounds the PAIR count, but the group itself must fit in
+# one task's memory, which a boilerplate key at 10^12 docs does not.
+# Salting splits a hot key into ``salt_factor`` sub-blocks BEFORE the
+# shuffle. Each member is placed in sub-blocks s and (s+1) mod S — the
+# overlap means consecutive sub-blocks share ~k/S members, so the
+# per-sub-block star emission keeps the whole key one connected component
+# without any cross-bucket coordination pass. Hot keys are found with a
+# deterministic 1/SALT_SAMPLE_MOD row-sample census (a hot key at any
+# meaningful threshold is dense in the sample).
+SALT_SAMPLE_MOD = 64
+DEFAULT_SALT_THRESHOLD = 20_000
+DEFAULT_SALT_FACTOR = 16
+
+_SALT_MIX = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _find_hot_keys(keyed, salt_threshold: int, num_partitions: int | None) -> np.ndarray:
+    """Sampled census over the key table -> sorted uint64 array of hot
+    key64 values."""
+    from ray.data.aggregate import Sum
+
+    def sample_counts(t: pa.Table) -> pa.Table:
+        ids = pd.Series(t.column("doc_id").to_pylist(), dtype=object)
+        h = pd.util.hash_pandas_object(ids, index=False).to_numpy(dtype=np.uint64)
+        mask = (h % np.uint64(SALT_SAMPLE_MOD)) == 0
+        if not mask.any():
+            return pa.table({"key64": pa.array([], pa.uint64()), "n": pa.array([], pa.int64())})
+        keys = t.column("key64").to_numpy(zero_copy_only=False)[mask]
+        uniq, cnt = np.unique(keys, return_counts=True)
+        # int64 VIEW of the uint64 key: Ray's hash aggregate can't carry
+        # uint64 group keys (falls back to pickled objects)
+        return pa.table(
+            {"key64": pa.array(uniq.view(np.int64), pa.int64()), "n": pa.array(cnt, pa.int64())}
+        )
+
+    counts = (
+        keyed.map_batches(sample_counts, batch_format="pyarrow")
+        .groupby("key64", num_partitions=num_partitions)
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    min_sampled = max(1, salt_threshold // SALT_SAMPLE_MOD)
+    parts = []
+    for b in counts.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        ks = b["key64"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ns = b["n"].to_numpy(zero_copy_only=False)
+        parts.append(ks[ns >= min_sampled])
+    if not parts:
+        return np.empty(0, dtype=np.uint64)
+    return np.sort(np.concatenate(parts).view(np.uint64))
+
+
+def _salt_keys(keyed, hot: np.ndarray, salt_factor: int):
+    """Rewrite hot-key rows into overlapping salted sub-keys (2 rows per
+    hot row: salt s and s+1 mod S); cold rows pass through untouched."""
+    import ray
+
+    hot_ref = ray.put(hot)
+
+    class Salter:
+        def __init__(self):
+            self.hot = ray.get(hot_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t.column("key64").to_numpy(zero_copy_only=False)
+            is_hot = np.isin(keys, self.hot)
+            if not is_hot.any():
+                return t
+            cold = t.filter(pa.array(~is_hot))
+            hot_t = t.filter(pa.array(is_hot))
+            ids = pd.Series(hot_t.column("doc_id").to_pylist(), dtype=object)
+            h = pd.util.hash_pandas_object(ids, index=False).to_numpy(dtype=np.uint64)
+            salt = (h % np.uint64(salt_factor)).astype(np.uint64)
+            hk = hot_t.column("key64").to_numpy(zero_copy_only=False)
+
+            def sub(tbl, s_arr):
+                with np.errstate(over="ignore"):
+                    nk = (hk * _SALT_MIX) ^ (s_arr + np.uint64(1))
+                return tbl.set_column(
+                    tbl.schema.get_field_index("key64"), "key64", pa.array(nk, pa.uint64())
+                )
+
+            a = sub(hot_t, salt)
+            b = sub(hot_t, (salt + np.uint64(1)) % np.uint64(salt_factor))
+            return pa.concat_tables([cold, a, b]).combine_chunks()
+
+    return keyed.map_batches(Salter, batch_format="pyarrow", concurrency=(1, 4))
+
+
+
+
 def _str_bucket(values: list, num_buckets: int) -> pa.Array:
     """Vectorized deterministic bucket assignment over string keys (pandas
     siphash with its fixed default key — stable across workers)."""
@@ -733,6 +828,9 @@ def candidate_pairs(
     snm_max_block_size: int = 5000,
     concurrency: int | tuple | None = None,
     delta: bool = False,
+    salt_hot_keys: bool = True,
+    salt_threshold: int = DEFAULT_SALT_THRESHOLD,
+    salt_factor: int = DEFAULT_SALT_FACTOR,
 ):
     """All blocking passes fused: one key-emission actor pool, one bucketed
     shuffle, per-bucket pair emission with in-bucket dedup, one final
@@ -772,6 +870,18 @@ def candidate_pairs(
     # onto ~5 tasks (observed in ds.stats()). Split first: cheap, and at
     # real scale the key table has plenty of blocks anyway.
     keyed = keyed.repartition(max(num_partitions or 0, 2 * DEFAULT_NUM_BUCKETS // 4, 32))
+
+    if salt_hot_keys:
+        # hot-key salting (north rule): a key with more members than one
+        # reduce task should hold is split into overlapping sub-blocks
+        # BEFORE the shuffle (see _salt_keys). The census consumes the key
+        # table, so pin it once; the salted SNM neighborhoods become
+        # per-sub-block windows (same spirit as the existing block cap,
+        # but memory-bounded at the shuffle, not just pair-bounded).
+        keyed = keyed.materialize()
+        hot = _find_hot_keys(keyed, salt_threshold, num_partitions)
+        if len(hot):
+            keyed = _salt_keys(keyed, hot, salt_factor)
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         left: list = []

@@ -152,3 +152,59 @@ def test_snm_global_crosses_first_token_boundary():
         set(zip(bucketed["left_id"], bucketed["right_id"])) if len(bucketed) else set()
     )
     assert ("a1", "a2") not in bucketed_pairs
+
+
+def test_hot_key_salting_bounds_groups_and_keeps_connectivity():
+    """A key hot enough to blow a reduce task is split into overlapping
+    salted sub-blocks before the shuffle; every member must stay in ONE
+    connected component of the emitted pairs, and no single (key, kind)
+    group may retain the full membership."""
+    import numpy as np
+
+    from entity_matching_datasets_ray.stages.blocking import (
+        _find_hot_keys,
+        _salt_keys,
+        candidate_pairs,
+    )
+    from entity_matching_datasets_ray.stages.clustering import connected_components_driver
+
+    n_hot = 4000
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d{i:05d}" for i in range(n_hot + 20)]),
+            # one boilerplate name shared by n_hot docs + 20 distinct docs
+            "norm_name": pa.array(
+                ["the same boilerplate product name"] * n_hot
+                + [f"unique item number {i}" for i in range(20)]
+            ),
+            "snm_key": pa.array(
+                ["boilerplate name product same the"] * n_hot
+                + [f"item {i} number unique" for i in range(20)]
+            ),
+            "norm_brand": pa.array([None] * (n_hot + 20), pa.string()),
+            "modelno": pa.array([None] * (n_hot + 20), pa.string()),
+            "phone_norm": pa.array([None] * (n_hot + 20), pa.string()),
+            "skeleton_key": pa.array([None] * (n_hot + 20), pa.string()),
+        }
+    )
+    ents = rd.from_arrow(t)
+    pairs = candidate_pairs(
+        ents,
+        num_partitions=4,
+        salt_hot_keys=True,
+        salt_threshold=500,
+        salt_factor=8,
+    ).to_pandas()
+    # connectivity: the hot docs form ONE component
+    labels = connected_components_driver(
+        rd.from_pandas(pairs[["left_id", "right_id"]])
+    )
+    hot_labels = labels[labels.doc_id.str.startswith("d0") | labels.doc_id.isin(
+        [f"d{i:05d}" for i in range(n_hot)]
+    )]
+    hot_ids = {f"d{i:05d}" for i in range(n_hot)}
+    comp = labels[labels.doc_id.isin(hot_ids)]
+    assert len(comp) == n_hot, "every hot doc must appear in some pair"
+    assert comp.entity_id.nunique() == 1, "salted sub-blocks must stay connected"
+    # the pair count stays bounded (star+window per sub-block, not O(k^2))
+    assert len(pairs) < 40 * n_hot
