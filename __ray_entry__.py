@@ -415,7 +415,17 @@ def _enrich_beer(sf_dir: str):
             "right_ABV": ["-" if i % 9 == 0 else f"{4 + (i % 60) / 10:.2f}%" for i in range(n)],
         }
     )
-    return enrich_pairs(rd.from_arrow(t), SPECS["beer"]).sort("id")
+    out = enrich_pairs(rd.from_arrow(t), SPECS["beer"])
+    # widen the int8 label for a dtype-stable oracle compare
+    out = out.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("label"),
+            "label",
+            b.column("label").cast(pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+    return out.sort("id")
 
 
 def _reference_conformance(sf_dir: str):
@@ -630,6 +640,39 @@ def oracle_sql() -> dict[str, str]:
               CAST(sum(CASE WHEN doc_id % 2 = 1 AND doc_id % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
               CAST(sum(CASE WHEN doc_id % 2 = 0 AND doc_id % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
             FROM documents
+        """,
+        # the enrichment chain over the formulaic synthesized input is
+        # fully derivable from the row index (the planted-fixture pattern):
+        # cleaned+title-cased names, style split/flags, exact ABV doubles
+        # ((40+k)/10.0 is IEEE-correctly-rounded, same as parsing "4.k")
+        "enrich_beer": """
+            WITH t AS (SELECT CAST(i AS BIGINT) AS id FROM range(200) r(i))
+            SELECT id,
+                   id % 2 AS label,
+                   'Sample Beer ' || id AS left_name,
+                   'Brewery ' || (id % 7) AS left_brewery,
+                   CASE id % 4 WHEN 0 THEN 'American Amber' WHEN 1 THEN 'English Ale'
+                               WHEN 2 THEN 'Munich Lager' ELSE 'Imperial Stout' END AS left_primary_style,
+                   CASE WHEN id % 4 = 0 THEN 'Red Ale' END AS left_secondary_style,
+                   (40 + (id % 60)) / 10.0 AS left_abv,
+                   id % 4 = 0 AS left_is_amber,
+                   id % 4 IN (0, 1) AS left_is_ale,
+                   id % 4 = 2 AS left_is_lager,
+                   id % 4 = 3 AS left_is_imperial,
+                   CAST(NULL AS VARCHAR) AS left_special_ingredients,
+                   'Sample Beer ' || id AS right_name,
+                   'Brewery ' || (id % 7) AS right_brewery,
+                   CASE (id + 1) % 4 WHEN 0 THEN 'American Amber' WHEN 1 THEN 'English Ale'
+                               WHEN 2 THEN 'Munich Lager' ELSE 'Imperial Stout' END AS right_primary_style,
+                   CASE WHEN (id + 1) % 4 = 0 THEN 'Red Ale' END AS right_secondary_style,
+                   CASE WHEN id % 9 = 0 THEN NULL
+                        ELSE (40 + (id % 60)) / 10.0 END AS right_abv,
+                   (id + 1) % 4 = 0 AS right_is_amber,
+                   (id + 1) % 4 IN (0, 1) AS right_is_ale,
+                   (id + 1) % 4 = 2 AS right_is_lager,
+                   (id + 1) % 4 = 3 AS right_is_imperial,
+                   CAST(NULL AS VARCHAR) AS right_special_ingredients
+            FROM t ORDER BY id
         """,
         # the reference's own matcher-eval log, rolled up the same way
         "eval_log_confusion": """
