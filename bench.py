@@ -162,6 +162,23 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     ).count()
     queries["annotate_documents"] = round(time.time() - t0, 2)
 
+    # --- time-ordered + hygiene ops -------------------------------------
+    t0 = time.time()
+    R.q_events_sliding_3h(sf_dir).to_pandas()
+    queries["events_sliding_3h"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    R.q_events_asof(sf_dir).to_pandas()
+    queries["events_asof"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    from entity_matching_datasets_ray.stages.text_analysis import chunk_documents
+
+    chunk_documents(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ).count()
+    queries["chunk_documents"] = round(time.time() - t0, 2)
+
     result = {
         "metric": "linkage_synth_sec",
         "value": round(linkage_sec, 2),
