@@ -132,7 +132,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     t0 = time.time()
     dclusters = run_linkage(
         docs_from_documents_table(sf_dir),
-        LinkageConfig(num_partitions=num_cpus, scorer_concurrency=(1, scorer_hi)),
+        LinkageConfig(
+            num_partitions=num_cpus,
+            scorer_concurrency=(max(1, scorer_hi // 2), scorer_hi),
+        ),
+        # a timings dict materializes the candidate stream, which makes
+        # the floored scorer pool safe (no upstream to starve)
+        timings={},
     )
     dclusters.count()
     queries["linkage_documents"] = round(time.time() - t0, 2)
