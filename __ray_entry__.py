@@ -462,6 +462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_filter_project": R.q_lineitem_filter_project,
         "top_orders_per_segment": R.q_top_orders_per_segment,
         "customers_without_orders": R.q_customers_without_orders,
+        "segment_price_quantiles": R.q_segment_price_quantiles,
         "exact_dedup_documents": _exact_dedup_documents,
         "fingerprint_dedup_documents": _fingerprint_dedup_documents,
         "token_counts_documents": _token_counts_documents,
@@ -612,6 +613,15 @@ def oracle_sql() -> dict[str, str]:
             )
             WHERE rn <= 3
             ORDER BY c_mktsegment, o_totalprice DESC, o_orderkey
+        """,
+        "segment_price_quantiles": """
+            SELECT c_mktsegment,
+                   quantile_disc(o_totalprice, 0.5) AS p50,
+                   quantile_disc(o_totalprice, 0.9) AS p90,
+                   count(*) AS n_rows
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment
         """,
         "customers_without_orders": """
             SELECT c_custkey, c_name

@@ -330,6 +330,52 @@ def anti_join(left, right_keys, on: str, right_on: str, max_broadcast_keys: int 
     )
 
 
+def grouped_quantiles(
+    ds,
+    key_cols: list[str],
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9),
+    num_partitions: int | None = None,
+):
+    """Exact per-group discrete quantiles: the selected element is
+    ``sorted[ceil(q*n) - 1]`` — SQL ``quantile_disc`` semantics, so the
+    value is a passthrough of a real row (bit-identical to any oracle).
+
+    Partitioning assumption: one key's rows fit in a partition (the same
+    PARTITION BY contract as ``windows.lag_partitioned``); a corpus-wide
+    quantile over a skewed giant group would use a sampled-histogram
+    sketch instead.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g[value_col].to_numpy())
+        n = len(v)
+        row = {c: g[c].iloc[0] for c in key_cols}
+        for q in qs:
+            row[f"p{round(q * 100):02d}"] = v[max(0, math.ceil(q * n) - 1)]
+        row["n_rows"] = np.int64(n)
+        return pd.DataFrame([row])
+
+    return (
+        ds.select_columns(key_cols + [value_col])
+        .groupby(key_cols, num_partitions=num_partitions)
+        .map_groups(per_group, batch_format="pandas")
+    )
+
+
+def q_segment_price_quantiles(sf_dir: str):
+    """Per-segment exact order-price quantiles (p50/p90) — the grouped
+    discrete-quantile aggregate vs DuckDB quantile_disc."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    j = orders.join(cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",))
+    return grouped_quantiles(j, ["c_mktsegment"], "o_totalprice").sort("c_mktsegment")
+
+
 def q_customers_without_orders(sf_dir: str):
     """Anti-join: customers with no order above $300k (adaptive broadcast /
     shuffle, see ``anti_join``)."""
