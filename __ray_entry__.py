@@ -463,6 +463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_segment": R.q_top_orders_per_segment,
         "customers_without_orders": R.q_customers_without_orders,
         "segment_price_quantiles": R.q_segment_price_quantiles,
+        "orders_rollup": R.q_orders_rollup,
         "exact_dedup_documents": _exact_dedup_documents,
         "fingerprint_dedup_documents": _fingerprint_dedup_documents,
         "token_counts_documents": _token_counts_documents,
@@ -613,6 +614,14 @@ def oracle_sql() -> dict[str, str]:
             )
             WHERE rn <= 3
             ORDER BY c_mktsegment, o_totalprice DESC, o_orderkey
+        """,
+        "orders_rollup": """
+            SELECT o_orderpriority, o_orderstatus,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_price
+            FROM orders
+            GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+            ORDER BY o_orderpriority, o_orderstatus
         """,
         "segment_price_quantiles": """
             SELECT c_mktsegment,

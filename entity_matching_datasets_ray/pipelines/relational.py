@@ -376,6 +376,64 @@ def q_segment_price_quantiles(sf_dir: str):
     return grouped_quantiles(j, ["c_mktsegment"], "o_totalprice").sort("c_mktsegment")
 
 
+def q_orders_rollup(sf_dir: str):
+    """ROLLUP(o_orderpriority, o_orderstatus): detail rows + per-priority
+    subtotals + grand total, composed as a union of three partial-agg
+    groupbys with NULL-filled rolled-up levels (exact cent sums)."""
+    from ray.data.aggregate import Count, Sum
+
+    base = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "o_orderstatus": t["o_orderstatus"],
+                "price_c": _cents(t["o_totalprice"]),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    detail = base.groupby(["o_orderpriority", "o_orderstatus"]).aggregate(
+        Count(alias_name="n_orders"), Sum("price_c", alias_name="price_c")
+    )
+    sub = base.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_orders"), Sum("price_c", alias_name="price_c")
+    ).map_batches(
+        lambda t: t.append_column("o_orderstatus", pa.nulls(t.num_rows, pa.string())),
+        batch_format="pyarrow",
+    )
+    import ray.data as rd
+
+    g = base.aggregate(Count(alias_name="n_orders"), Sum("price_c", alias_name="price_c"))
+    total = rd.from_arrow(
+        pa.table(
+            {
+                "o_orderpriority": pa.nulls(1, pa.string()),
+                "o_orderstatus": pa.nulls(1, pa.string()),
+                "n_orders": pa.array([g["n_orders"]], pa.int64()),
+                "price_c": pa.array([g["price_c"]], pa.int64()),
+            }
+        )
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "o_orderstatus": t["o_orderstatus"],
+                "n_orders": t["n_orders"],
+                "sum_price": _div_f64(t["price_c"], 100.0),
+            }
+        )
+
+    out = detail.map_batches(finalize, batch_format="pyarrow")
+    for extra in (sub, total):
+        out = out.union(extra.map_batches(finalize, batch_format="pyarrow"))
+    # no final sort: Ray's sort can't order NULL rollup levels, and the
+    # correctness compare is order-insensitive (rows sorted by the harness)
+    return out
+
+
 def q_customers_without_orders(sf_dir: str):
     """Anti-join: customers with no order above $300k (adaptive broadcast /
     shuffle, see ``anti_join``)."""
