@@ -443,7 +443,19 @@ def normalize_name(s: Optional[str]) -> str:
     t = apply_table(t, ABBREV_TABLE)
     t = apply_table(t, BRAND_TABLE)
     t = _NON_ALNUM.sub(" ", t)
-    return dedupe_adjacent_tokens(collapse_ws(t))
+    t = collapse_ws(t)
+    # post-strip canonicalization to FIXPOINT: punctuation stripping can
+    # expose version/roman forms ("v:2" -> "v 2", "ivª" -> "iv") the
+    # pre-strip pass could not see, and overlapping runs ("v v 6") need
+    # one pass per 'v' — without the loop the chain is not idempotent
+    # (hypothesis-found).
+    prev = None
+    while prev != t:
+        prev = t
+        t = canonicalize_versions(t)
+    out = dedupe_adjacent_tokens(t)
+    # the cleaned result can itself be a bare null sentinel (",na$" -> "na")
+    return "" if is_null_sentinel(out) else out
 
 
 def name_tokens(s: Optional[str]) -> list[str]:
