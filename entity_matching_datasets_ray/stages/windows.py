@@ -10,14 +10,20 @@ expressed Ray-Data-first:
   groupby on (key, window_start) — the same exact-int64-cents
   accumulation as the relational suite, so results are bit-stable.
 - ``lag_partitioned``: previous row's columns within (key, ts) order —
-  one groupby(key).map_groups with an in-group sort + shift. Partitioning
-  assumption: one key's rows fit in a partition (same as any
-  PARTITION BY window function; salt or range-split hot keys upstream).
+  ONE global sort on (key, ts, id), a per-block shift(1) masked on key
+  change, and one carry row per block (its last row) exchanged through
+  the driver. NO per-key partitioning assumption: a key with billions of
+  rows spans many sorted blocks and each block only needs its
+  predecessor's single last row.
 - ``asof_join``: every probe row gets the latest build row with
   ``build_ts <= probe_ts``. ONE global range-partitioned sort of the
-  tagged union, a per-block backward-fill, and a tiny driver-side prefix
-  exchange (one carry row per block) — the SNM-global boundary-exchange
-  pattern applied to time. No per-key partitioning assumption at all.
+  tagged union, a per-block Arrow forward-fill, and a tiny driver-side
+  prefix exchange (one carry row per block) — the SNM-global
+  boundary-exchange pattern applied to time. No per-key partitioning
+  assumption at all. Build/probe columns keep their NATIVE Arrow types
+  throughout (int64 stays nullable int64, never float64), and the sort
+  key carries a unique per-row tiebreaker so equal-timestamp rows order
+  deterministically run-to-run.
 """
 
 from __future__ import annotations
@@ -93,20 +99,80 @@ def lag_partitioned(
 ):
     """SQL ``lag(...) OVER (PARTITION BY key ORDER BY ts, id)``:
     each row gets the previous row's id and value within its key.
-    """
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, id_col])
-        out = g[[id_col, key_col, ts_col]].copy()
-        out["prev_" + id_col] = g[id_col].shift(1)
-        out["prev_" + value_col] = g[value_col].shift(1)
+    Scale-safe mechanics (no whole-key pandas group): one global sort on
+    (key, ts, id); within each sorted block prev = shift(1) masked where
+    the key changes; the only cross-block state is ONE carry row per
+    block (its last row), ordered by block start on the driver so each
+    block knows its predecessor's last (key, id, value). A key spanning
+    many blocks costs one carry row per block, never one task per key.
+    """
+    import ray
+
+    sel = ds.select_columns([key_col, ts_col, id_col, value_col])
+    if num_partitions:
+        sel = sel.repartition(num_partitions)
+    s = sel.sort([key_col, ts_col, id_col]).materialize()
+
+    def block_carry(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                columns=["blk_key", "blk_ts", "blk_id", "last_key", "last_id", "last_value"]
+            )
+        df = df.sort_values([key_col, ts_col, id_col])
+        return pd.DataFrame(
+            [
+                {
+                    "blk_key": df[key_col].iloc[0],
+                    "blk_ts": df[ts_col].iloc[0],
+                    "blk_id": int(df[id_col].iloc[0]),
+                    "last_key": df[key_col].iloc[-1],
+                    "last_id": float(df[id_col].iloc[-1]),
+                    "last_value": float(df[value_col].iloc[-1]),
+                }
+            ]
+        )
+
+    carries = (
+        s.map_batches(block_carry, batch_format="pandas", batch_size=None)
+        .to_pandas()
+        .sort_values(["blk_key", "blk_ts", "blk_id"])
+        .reset_index(drop=True)
+    )
+    # carry into block i = block i-1's last row (the immediately preceding
+    # row in global (key, ts, id) order, whatever key it belongs to)
+    carry_map: dict = {}
+    prev = None
+    for _, row in carries.iterrows():
+        key = (row["blk_key"], row["blk_ts"].to_pydatetime(), int(row["blk_id"]))
+        carry_map[key] = prev
+        prev = (row["last_key"], row["last_id"], row["last_value"])
+    carry_ref = ray.put(carry_map)
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                columns=[id_col, key_col, ts_col, "prev_" + id_col, "prev_" + value_col]
+            )
+        cm = ray.get(carry_ref)
+        df = df.sort_values([key_col, ts_col, id_col]).reset_index(drop=True)
+        bkey = (df[key_col].iloc[0], df[ts_col].iloc[0].to_pydatetime(), int(df[id_col].iloc[0]))
+        prev_id = df[id_col].astype("float64").shift(1)
+        prev_val = df[value_col].astype("float64").shift(1)
+        same = df[key_col].eq(df[key_col].shift(1))
+        carry = cm.get(bkey)
+        if carry is not None and carry[0] == df[key_col].iloc[0]:
+            prev_id.iloc[0] = carry[1]
+            prev_val.iloc[0] = carry[2]
+            same.iloc[0] = True
+        prev_id[~same] = np.nan
+        prev_val[~same] = np.nan
+        out = df[[id_col, key_col, ts_col]].copy()
+        out["prev_" + id_col] = prev_id
+        out["prev_" + value_col] = prev_val
         return out
 
-    return (
-        ds.select_columns([key_col, ts_col, id_col, value_col])
-        .groupby(key_col, num_partitions=num_partitions)
-        .map_groups(per_key, batch_format="pandas")
-    )
+    return s.map_batches(fill, batch_format="pandas", batch_size=None)
 
 
 def asof_join(
@@ -117,89 +183,129 @@ def asof_join(
     probe_cols: list[str],
     build_cols: list[str],
     num_partitions: int | None = None,
+    probe_tiebreak: str | None = None,
+    build_tiebreak: str | None = None,
 ):
     """For every probe row, the latest build row with build_ts <= probe_ts
     (ties at equal timestamps: the build row sorts first, so it IS
     visible to the probe; among equal-ts build rows the one with the
-    largest last ``build_cols`` value wins deterministically).
+    largest tiebreaker id wins, deterministically).
 
     Distributed mechanics: tag both streams, globally sort the union by
-    (ts, tag) — builds before probes at equal ts — then backward-fill
-    build values inside each sorted block; the only cross-block state is
-    ONE carry row per block (its last build row), which the driver orders
-    by block start and turns into a broadcast prefix map. Two passes over
-    the materialized sorted union; no per-key assumption, no skew
-    sensitivity.
+    (ts, tag, tiebreak) — builds before probes at equal ts, and a unique
+    per-row integer tiebreaker (default: the first probe/build column,
+    assumed a unique id) so the order — and therefore block boundaries
+    and equal-ts winners — is deterministic run-to-run. Then Arrow
+    ``fill_null_forward`` of the build values inside each sorted block;
+    the only cross-block state is ONE carry row per block (its last
+    build row), which the driver orders by block start and turns into a
+    broadcast prefix map. Build and probe columns are carried in their
+    NATIVE Arrow types (an int64 build id joins as nullable int64 — it
+    is never cast through float64, so no NaN-vs-NULL or >2^53 precision
+    loss). Two passes over the materialized sorted union; no per-key
+    assumption, no skew sensitivity.
     """
     import ray
-    import ray.data as rd
+
+    probe_tiebreak = probe_tiebreak or probe_cols[0]
+    build_tiebreak = build_tiebreak or build_cols[0]
+    p_schema = dict(zip(probe.schema().names, probe.schema().types))
+    b_schema = dict(zip(build.schema().names, build.schema().types))
+    ptypes = {c: p_schema[c] for c in probe_cols}
+    btypes = {c: b_schema[c] for c in build_cols}
+    bcols = ["b_" + c for c in build_cols]
+    SKEY = [("__ts", "ascending"), ("__tag", "ascending"), ("__tb", "ascending")]
 
     def tag_probe(t: pa.Table) -> pa.Table:
         cols = {
             "__ts": pc.cast(t[probe_ts], pa.timestamp("us")),
-            "__tag": pa.array([1] * t.num_rows, pa.int8()),
+            "__tag": pa.array(np.ones(t.num_rows, np.int8)),
+            "__tb": pc.cast(t[probe_tiebreak], pa.int64()),
         }
         for c in probe_cols:
             cols[c] = t[c]
         for c in build_cols:
-            cols["b_" + c] = pa.nulls(t.num_rows, pa.float64())
+            cols["b_" + c] = pa.nulls(t.num_rows, btypes[c])
         return pa.table(cols)
 
     def tag_build(t: pa.Table) -> pa.Table:
         cols = {
             "__ts": pc.cast(t[build_ts], pa.timestamp("us")),
-            "__tag": pa.array([0] * t.num_rows, pa.int8()),
+            "__tag": pa.array(np.zeros(t.num_rows, np.int8)),
+            "__tb": pc.cast(t[build_tiebreak], pa.int64()),
         }
         for c in probe_cols:
-            cols[c] = pa.nulls(t.num_rows, pa.int64())
+            cols[c] = pa.nulls(t.num_rows, ptypes[c])
         for c in build_cols:
-            cols["b_" + c] = pc.cast(t[c], pa.float64())
+            cols["b_" + c] = t[c]
         return pa.table(cols)
 
-    p = probe.select_columns(probe_cols + [probe_ts]).map_batches(tag_probe, batch_format="pyarrow")
-    b = build.select_columns(build_cols + [build_ts]).map_batches(tag_build, batch_format="pyarrow")
+    psel = list(dict.fromkeys(probe_cols + [probe_ts, probe_tiebreak]))
+    bsel = list(dict.fromkeys(build_cols + [build_ts, build_tiebreak]))
+    p = probe.select_columns(psel).map_batches(tag_probe, batch_format="pyarrow")
+    b = build.select_columns(bsel).map_batches(tag_build, batch_format="pyarrow")
     u = p.union(b)
     if num_partitions:
         u = u.repartition(num_partitions)
-    s = u.sort(["__ts", "__tag"]).materialize()
+    s = u.sort(["__ts", "__tag", "__tb"]).materialize()
 
-    bcols = ["b_" + c for c in build_cols]
+    def _blk_key(t: pa.Table) -> tuple:
+        return (t["__ts"][0].as_py(), t["__tag"][0].as_py(), t["__tb"][0].as_py())
 
-    def block_carry(df: pd.DataFrame) -> pd.DataFrame:
-        """One row per block: block start key + its last build row."""
-        df = df.sort_values(["__ts", "__tag"])
-        builds = df[df["__tag"] == 0]
-        row = {
-            "blk_ts": df["__ts"].iloc[0],
-            "blk_tag": np.int8(df["__tag"].iloc[0]),
-            "has_build": len(builds) > 0,
-        }
-        for c in bcols:
-            row[c] = builds[c].iloc[-1] if len(builds) else np.nan
-        return pd.DataFrame([row])
+    def block_carry(t: pa.Table) -> pa.Table:
+        """One row per block: block-start key + the block's last build row."""
+        cols: dict = {}
+        if t.num_rows == 0:
+            cols["blk_ts"] = pa.nulls(0, pa.timestamp("us"))
+            cols["blk_tag"] = pa.nulls(0, pa.int8())
+            cols["blk_tb"] = pa.nulls(0, pa.int64())
+            cols["has_build"] = pa.nulls(0, pa.bool_())
+            for c in build_cols:
+                cols["b_" + c] = pa.nulls(0, btypes[c])
+            return pa.table(cols)
+        t = t.take(pc.sort_indices(t, sort_keys=SKEY))
+        builds = t.filter(pc.equal(t["__tag"], pa.scalar(0, pa.int8())))
+        ts0, tag0, tb0 = _blk_key(t)
+        cols["blk_ts"] = pa.array([ts0], pa.timestamp("us"))
+        cols["blk_tag"] = pa.array([tag0], pa.int8())
+        cols["blk_tb"] = pa.array([tb0], pa.int64())
+        cols["has_build"] = pa.array([builds.num_rows > 0])
+        for c in build_cols:
+            v = builds["b_" + c][builds.num_rows - 1].as_py() if builds.num_rows else None
+            cols["b_" + c] = pa.array([v], btypes[c])
+        return pa.table(cols)
 
-    carries = s.map_batches(block_carry, batch_format="pandas", batch_size=None).to_pandas()
-    carries = carries.sort_values(["blk_ts", "blk_tag"]).reset_index(drop=True)
+    carries = s.map_batches(block_carry, batch_format="pyarrow", batch_size=None).take_all()
+    carries.sort(key=lambda r: (r["blk_ts"], r["blk_tag"], r["blk_tb"]))
     # prefix: carry into block i = last build row among blocks < i
     carry_map: dict = {}
-    last = {c: np.nan for c in bcols}
-    for _, row in carries.iterrows():
-        carry_map[(row["blk_ts"], int(row["blk_tag"]))] = dict(last)
+    last: dict = {c: None for c in build_cols}
+    for row in carries:
+        carry_map[(row["blk_ts"], row["blk_tag"], row["blk_tb"])] = dict(last)
         if row["has_build"]:
-            last = {c: row[c] for c in bcols}
+            last = {c: row["b_" + c] for c in build_cols}
     carry_ref = ray.put(carry_map)
 
-    def fill(df: pd.DataFrame) -> pd.DataFrame:
-        cm = ray.get(carry_ref)
-        df = df.sort_values(["__ts", "__tag"]).reset_index(drop=True)
-        carry = cm.get((df["__ts"].iloc[0], int(df["__tag"].iloc[0])), {c: np.nan for c in bcols})
-        for c in bcols:
-            filled = df[c].ffill()
-            filled = filled.fillna(carry[c])
-            df[c] = filled
-        out = df[df["__tag"] == 1]
-        return out[probe_cols + ["__ts"] + bcols].rename(
-            columns={"__ts": probe_ts, **{("b_" + c): ("asof_" + c) for c in build_cols}}
-        )
+    out_names = probe_cols + [probe_ts] + ["asof_" + c for c in build_cols]
 
-    return s.map_batches(fill, batch_format="pandas", batch_size=None)
+    def fill(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            cols = {c: pa.nulls(0, ptypes[c]) for c in probe_cols}
+            cols[probe_ts] = pa.nulls(0, pa.timestamp("us"))
+            for c in build_cols:
+                cols["asof_" + c] = pa.nulls(0, btypes[c])
+            return pa.table(cols)
+        cm = ray.get(carry_ref)
+        t = t.take(pc.sort_indices(t, sort_keys=SKEY))
+        carry = cm.get(_blk_key(t), {c: None for c in build_cols})
+        cols = {c: t[c] for c in probe_cols}
+        cols[probe_ts] = t["__ts"]
+        for c in build_cols:
+            col = pc.fill_null_forward(t["b_" + c])
+            if carry.get(c) is not None:
+                col = pc.fill_null(col, pa.scalar(carry[c], btypes[c]))
+            cols["asof_" + c] = col
+        mask = pc.equal(t["__tag"], pa.scalar(1, pa.int8()))
+        return pa.table({n: cols[n] for n in out_names}).filter(mask)
+
+    return s.map_batches(fill, batch_format="pyarrow", batch_size=None)

@@ -75,6 +75,73 @@ def test_lag_matches_pandas(events):
     pd.testing.assert_series_equal(out["prev_value"], bf["prev_value"], check_names=False)
 
 
+def test_lag_single_hot_key_spanning_many_partitions():
+    """A single key across many sorted blocks must lag correctly via the
+    per-block carry exchange — no whole-key pandas group anywhere."""
+    rng = np.random.RandomState(3)
+    n = 2000
+    ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+        np.sort(rng.choice(10**6, n, replace=False)), unit="s"
+    )
+    df = pd.DataFrame(
+        {
+            "event_id": rng.permutation(n).astype(np.int64),
+            "event_type": "hot",  # ONE key — the scale-killer case
+            "ts": ts,
+            "value": np.round(rng.uniform(0, 100, n), 2),
+        }
+    )
+    out = (
+        lag_partitioned(
+            rd.from_pandas(df).repartition(16), "event_type", "ts", "event_id", "value"
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    bf = df.sort_values(["ts", "event_id"]).copy()
+    bf["prev_event_id"] = bf["event_id"].shift(1)
+    bf["prev_value"] = bf["value"].shift(1)
+    bf = bf.sort_values("event_id").reset_index(drop=True)
+    assert np.allclose(
+        out["prev_event_id"].to_numpy(), bf["prev_event_id"].to_numpy(), equal_nan=True
+    )
+    assert np.allclose(out["prev_value"].to_numpy(), bf["prev_value"].to_numpy(), equal_nan=True)
+
+
+def test_asof_native_int_dtype_and_tie_determinism():
+    """asof_event_id must be nullable int64 (never float64/NaN), and with
+    duplicate build timestamps the largest-tiebreak build row must win,
+    identically at every partitioning."""
+    probe = pd.DataFrame(
+        {
+            "event_id": np.array([100, 101, 102], dtype=np.int64),
+            "ts": pd.to_datetime(["2024-01-01 00:30", "2024-01-01 01:00", "2024-01-01 02:00"]),
+        }
+    )
+    # two build rows share ts 01:00 — ties must resolve to the larger id (6)
+    build = pd.DataFrame(
+        {
+            "event_id": np.array([5, 6, 7], dtype=np.int64),
+            "ts": pd.to_datetime(["2024-01-01 01:00", "2024-01-01 01:00", "2024-01-01 03:00"]),
+        }
+    )
+    for parts in (1, 2, 3):
+        res = asof_join(
+            rd.from_pandas(probe),
+            rd.from_pandas(build),
+            "ts", "ts", ["event_id"], ["event_id"], num_partitions=parts,
+        )
+        sch = dict(zip(res.schema().names, res.schema().types))
+        # native Arrow int64 end-to-end (pandas may still widen nulls to
+        # float64 on conversion — exactly as DuckDB's .df() does)
+        assert sch["asof_event_id"] == pa.int64()
+        out = res.to_pandas().sort_values("event_id").reset_index(drop=True)
+        assert pd.isna(out["asof_event_id"].iloc[0])
+        assert out["asof_event_id"].iloc[1] == 6  # tie → largest build id
+        assert out["asof_event_id"].iloc[2] == 6
+
+
 @pytest.mark.parametrize("parts", [2, 7])
 def test_asof_join_matches_bruteforce(events, parts):
     probe = events[events.event_type == "a"][["event_id", "ts"]]

@@ -78,6 +78,20 @@ def main():
             status = f"COLS got={list(got.columns)} want={list(want.columns)}"
         elif len(got) != len(want):
             status = f"ROWS got={len(got)} want={len(want)}"
+        elif any(
+            # dtype-strict on non-float columns: int-vs-float (123 vs 123.0,
+            # NULL vs NaN) hashes differently at the driver even when values
+            # compare equal here (the r02 events_asof lesson).
+            got[c].dtype.kind != want[c].dtype.kind
+            and not (got[c].dtype.kind == "f" and want[c].dtype.kind == "f")
+            for c in got.columns
+        ):
+            bad = [
+                f"{c}: got={got[c].dtype} want={want[c].dtype}"
+                for c in got.columns
+                if got[c].dtype.kind != want[c].dtype.kind
+            ]
+            status = "DTYPE " + "; ".join(bad)
         else:
             # effectively-exact: last-bit float noise only. The driver's
             # value-hash precision is unknown, so every oracle query is
