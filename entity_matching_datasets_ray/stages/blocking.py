@@ -363,13 +363,18 @@ def snm_pairs_global(
     - in-block windowed pairs: one ``map_batches`` over whole blocks of
       the sorted Dataset (zero extra shuffle — the sort already moved the
       rows).
-    - boundary exchange: each block also emits its first/last ``window``
-      rows plus (block-first-key, block size, local position). That side
-      stream is tiny — O(window x num_blocks) — so the driver orders the
-      blocks by first key, reconstructs exact global positions, and emits
-      the cross-block pairs whose true global gap is <= window. Windows
-      spanning 3+ blocks are handled exactly because any fully-interior
-      block shorter than 2 x window contributes all of its rows.
+    - boundary exchange, fully DISTRIBUTED: the driver only ever sees the
+      tiny per-block (first-key, size) rank table — one row per block —
+      from which it derives exact global offsets, broadcast via
+      ``ray.put``. The boundary rows themselves (first/last ``window``
+      rows of each block) never leave the cluster: each is tagged with
+      its exact global position, chunked by ``gpos // window``, emitted
+      into its own chunk and the previous one, and a ``groupby("grp")``
+      shuffle co-locates every <=window-gap cross-block pair in exactly
+      one ~O(window)-row group where a task emits it (anchored at the
+      left row's native chunk, so no duplicates). Windows spanning 3+
+      blocks are handled exactly because any fully-interior block shorter
+      than 2 x window contributes all of its rows.
     """
     import pyarrow.compute as pc
 
@@ -398,53 +403,101 @@ def snm_pairs_global(
 
     pairs_within = s.map_batches(in_block, batch_format="pandas", batch_size=None)
 
-    def boundary_rows(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("sort_key").reset_index(drop=True)
-        n = len(df)
-        if n == 0:
+    import ray
+
+    # driver-side state: ONE row per block (first sort key, size) — from
+    # which exact global offsets and block ranks follow. O(num_blocks),
+    # never O(window x num_blocks) rows.
+    def block_meta(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
             return pd.DataFrame(
                 {
-                    "doc_id": pd.Series([], dtype=str),
-                    "sort_key": pd.Series([], dtype=str),
                     "blk_first": pd.Series([], dtype=str),
                     "blk_n": pd.Series([], dtype=np.int64),
-                    "local_pos": pd.Series([], dtype=np.int64),
                 }
             )
-        idx = sorted(set(range(min(window, n))) | set(range(max(0, n - window), n)))
-        sub = df.iloc[idx]
         return pd.DataFrame(
             {
-                "doc_id": sub["doc_id"].to_numpy(),
-                "sort_key": sub["sort_key"].to_numpy(),
-                "blk_first": df["sort_key"].iloc[0],
-                "blk_n": np.int64(n),
-                "local_pos": np.asarray(idx, dtype=np.int64),
+                "blk_first": [df["sort_key"].min()],
+                "blk_n": [np.int64(len(df))],
             }
         )
 
-    bd = s.map_batches(boundary_rows, batch_format="pandas", batch_size=None).to_pandas()
-
-    left: list = []
-    right: list = []
-    if len(bd):
-        # order blocks by their first key (globally unique), then assign
-        # exact global positions via cumulative block sizes
-        blocks = (
-            bd[["blk_first", "blk_n"]].drop_duplicates().sort_values("blk_first")
+    blocks = (
+        s.map_batches(block_meta, batch_format="pandas", batch_size=None)
+        .to_pandas()
+        .sort_values("blk_first")
+        .reset_index(drop=True)
+    )
+    if len(blocks) == 0:
+        return pairs_within
+    offsets = np.concatenate([[0], blocks["blk_n"].to_numpy().cumsum()[:-1]])
+    maps_ref = ray.put(
+        (
+            dict(zip(blocks["blk_first"], offsets.astype(np.int64))),
+            {k: i for i, k in enumerate(blocks["blk_first"])},
         )
-        offsets = np.concatenate([[0], blocks["blk_n"].to_numpy().cumsum()[:-1]])
-        off_map = dict(zip(blocks["blk_first"], offsets))
-        blk_idx = {k: i for i, k in enumerate(blocks["blk_first"])}
-        bd = bd.assign(
-            gpos=bd["blk_first"].map(off_map).to_numpy() + bd["local_pos"].to_numpy(),
-            blk=bd["blk_first"].map(blk_idx).to_numpy(),
-        ).sort_values("gpos")
-        g = bd["gpos"].to_numpy()
-        ids = bd["doc_id"].to_numpy()
-        blk = bd["blk"].to_numpy()
-        m = len(bd)
+    )
+
+    def boundary_rows(df: pd.DataFrame) -> pd.DataFrame:
+        """First/last ``window`` rows of the block, tagged with exact
+        global position + block rank, duplicated into chunk ``gpos //
+        window`` and the previous chunk so every <=window-gap pair
+        co-locates in at least the left row's native chunk group."""
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype=str),
+                "gpos": pd.Series([], dtype=np.int64),
+                "blk": pd.Series([], dtype=np.int64),
+                "grp": pd.Series([], dtype=np.int64),
+            }
+        )
+        df = df.sort_values("sort_key").reset_index(drop=True)
+        n = len(df)
+        if n == 0:
+            return empty
+        off_map, blk_idx = ray.get(maps_ref)
+        first = df["sort_key"].iloc[0]
+        off, rank = off_map[first], blk_idx[first]
+        idx = np.asarray(
+            sorted(set(range(min(window, n))) | set(range(max(0, n - window), n))),
+            dtype=np.int64,
+        )
+        gpos = off + idx
+        ids = df["doc_id"].to_numpy()[idx]
+        chunk = gpos // window
+        parts = [pd.DataFrame({"doc_id": ids, "gpos": gpos, "blk": rank, "grp": chunk})]
+        keep = chunk >= 1
+        if keep.any():
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": ids[keep],
+                        "gpos": gpos[keep],
+                        "blk": rank,
+                        "grp": chunk[keep] - 1,
+                    }
+                )
+            )
+        return pd.concat(parts, ignore_index=True)
+
+    bd = s.map_batches(boundary_rows, batch_format="pandas", batch_size=None)
+
+    def emit_cross(df: pd.DataFrame) -> pd.DataFrame:
+        """Each group holds ~O(window) boundary rows spanning two
+        consecutive gpos chunks; emit the cross-block pairs anchored here
+        (left row's native chunk == this group), gap <= window."""
+        grp = int(df["grp"].iloc[0])
+        df = df.drop_duplicates("gpos").sort_values("gpos")
+        g = df["gpos"].to_numpy()
+        ids = df["doc_id"].to_numpy()
+        blk = df["blk"].to_numpy()
+        left: list = []
+        right: list = []
+        m = len(df)
         for i in range(m):
+            if g[i] // window != grp:
+                continue  # anchored in the next group — emitted there
             for j in range(i + 1, m):
                 if g[j] - g[i] > window:
                     break
@@ -457,10 +510,9 @@ def snm_pairs_global(
                 else:
                     left.append(b)
                     right.append(a)
+        return _pairs_frame(left, right, "snm", 0)
 
-    import ray.data as rd
-
-    cross = rd.from_pandas(_pairs_frame(left, right, "snm", 0))
+    cross = bd.groupby("grp").map_groups(emit_cross, batch_format="pandas")
     return pairs_within.union(cross)
 
 
