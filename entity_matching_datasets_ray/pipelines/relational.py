@@ -291,15 +291,19 @@ def anti_join(left, right_keys, on: str, right_on: str, max_broadcast_keys: int 
             break
 
     if broadcast_ok:
-        keys_ref = ray.put(keys)
+        keys_ref = ray.put(list(keys))
 
         class AntiFilter:
             def __init__(self):
-                self.keys = ray.get(keys_ref)
+                # value-set for pc.is_in: fully vectorized membership test
+                self.keys = pa.array(ray.get(keys_ref))
 
             def __call__(self, t: pa.Table) -> pa.Table:
-                ids = t.column(on).to_pylist()
-                mask = pa.array([i not in self.keys for i in ids], pa.bool_())
+                if len(self.keys) == 0:
+                    return t
+                mask = pc.invert(
+                    pc.is_in(pc.cast(t[on], self.keys.type), value_set=self.keys)
+                )
                 return t.filter(mask)
 
         return left.map_batches(AntiFilter, batch_format="pyarrow", concurrency=(1, 2))

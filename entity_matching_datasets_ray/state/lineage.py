@@ -33,15 +33,24 @@ import pyarrow.parquet as pq
 
 
 def partition_fingerprint(table: pa.Table, columns: list[str] | None = None) -> str:
-    """Order-independent content fingerprint of a table (XOR of per-row
-    hashes over the given columns)."""
+    """Order-independent content fingerprint of a table: one vectorized
+    ``hash_pandas_object`` pass + wrap-sum-with-count of the per-row
+    hashes (the clustering ``_edges_checksum`` pattern — was a per-row
+    blake2b Python loop, VERDICT r02 item 6). Sum mod 2^64 plus the row
+    count is commutative across row order and, unlike XOR, doesn't cancel
+    duplicate rows. ``hash_pandas_object`` is deterministic cross-process
+    (fixed default key)."""
+    import numpy as np
+    import pandas as pd
+
     cols = columns or table.column_names
-    acc = 0
-    arrays = [table.column(c).to_pylist() for c in cols]
-    for row in zip(*arrays):
-        h = hashlib.blake2b(repr(row).encode(), digest_size=8).digest()
-        acc ^= int.from_bytes(h, "big")
-    return f"{acc:016x}"
+    df = table.select(cols).to_pandas()
+    if len(df) == 0:
+        return f"{0:016x}-0"
+    h = pd.util.hash_pandas_object(df, index=False).to_numpy(dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        s = int(np.sum(h, dtype=np.uint64))
+    return f"{s:016x}-{len(df)}"
 
 
 class StageCheckpoint:

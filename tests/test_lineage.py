@@ -1,6 +1,7 @@
 """Checkpoint/resume tests: skip-completed semantics, byte-identical output."""
 
 import os
+import re
 import shutil
 
 import pyarrow as pa
@@ -104,4 +105,4 @@ def test_manifest_records_lineage(tmp_root):
     for e in entries:
         assert e["stage"] == "double"
         assert e["rows"] > 0
-        assert len(e["input_fingerprint"]) == 16
+        assert re.fullmatch(r"[0-9a-f]{16}-\d+", e["input_fingerprint"])
