@@ -35,30 +35,49 @@ def entry() -> Any:
 
 
 def _linkage_clusters(sf_dir: str):
-    from entity_matching_datasets_ray.pipelines.flagship import flagship_clusters
+    """Full linkage pipeline (blocking -> scoring -> CC -> canonical
+    election) over the planted exact-duplicate corpus derived from the
+    documents id column. The cluster assignment is SQL-derivable from the
+    id column alone (planted-fixture pattern), so the END-TO-END pipeline
+    is oracle-checked for both precision (no cross-id merges) and recall
+    (no split clusters). The flagship run over the real documents table is
+    exercised by entry(), bench.py and tests/test_pipeline_e2e.py."""
+    import ray.data as rd
 
-    return flagship_clusters(sf_dir)
+    from entity_matching_datasets_ray.pipelines.linkage import LinkageConfig, run_linkage
+    from entity_matching_datasets_ray.synth import planted_linkage_docs
+
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    docs = planted_linkage_docs(ids)
+    return run_linkage(docs, LinkageConfig(num_partitions=8)).sort("doc_id")
 
 
 def _linkage_synth_f1(sf_dir: str):
-    """Seeded duplicate corpus -> one-row F1 report (rows-only check; the
-    >=0.99 gate is asserted in tests/test_pipeline_e2e.py)."""
+    """Pairwise-F1 evaluation over the planted exact-duplicate corpus:
+    gold pairs and the expected perfect confusion counts are derivable
+    from the id column, so the evaluation JOIN machinery itself is
+    oracle-checked. The noisy-corpus F1>=0.99 gate (where F1 is not
+    formula-derivable) is asserted in tests/test_pipeline_e2e.py."""
     import pandas as pd
+    import ray.data as rd
 
     from entity_matching_datasets_ray.pipelines.evaluate import pairwise_f1
-    from entity_matching_datasets_ray.pipelines.flagship import synthetic_linkage
+    from entity_matching_datasets_ray.pipelines.linkage import LinkageConfig, run_linkage
+    from entity_matching_datasets_ray.synth import planted_linkage_docs, planted_truth_pairs
 
-    clusters, gold = synthetic_linkage(n_entities=200)
-    m = pairwise_f1(clusters, gold, num_partitions=8)
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    clusters = run_linkage(planted_linkage_docs(ids), LinkageConfig(num_partitions=8))
+    m = pairwise_f1(clusters, planted_truth_pairs(ids), num_partitions=8)
     return pd.DataFrame([m])
 
 
 def _linkage_incremental(sf_dir: str):
-    """Incremental cluster maintenance: fold a 1-in-7 delta of the synth
-    corpus into clusters built from the rest; returns the merged cluster
-    table (rows-only; full-recompute equivalence + old-components-never-
-    split are asserted in tests/test_pipeline_e2e.py)."""
-    import pyarrow.compute as pc
+    """Incremental cluster maintenance over the planted corpus: the old
+    corpus is copy-0 docs (all singletons), the delta is their exact
+    duplicates (copy 1). A correct fold merges each delta doc into its
+    original's cluster with the canonical id unchanged — SQL-derivable
+    from the id column. Noisy-corpus full-recompute equivalence +
+    old-components-never-split are asserted in tests/test_pipeline_e2e.py."""
     import ray.data as rd
 
     from entity_matching_datasets_ray.pipelines.linkage import (
@@ -66,12 +85,11 @@ def _linkage_incremental(sf_dir: str):
         run_linkage,
         run_linkage_incremental,
     )
-    from entity_matching_datasets_ray.synth import synth_docs_table
+    from entity_matching_datasets_ray.synth import planted_linkage_docs
 
-    full_tbl = synth_docs_table(150)
-    mask = pa.array([i % 7 == 0 for i in range(full_tbl.num_rows)])
-    old_docs = rd.from_arrow(full_tbl.filter(pc.invert(mask)))
-    new_docs = rd.from_arrow(full_tbl.filter(mask))
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    old_docs = planted_linkage_docs(ids, copies=1)
+    new_docs = planted_linkage_docs(ids, copies=1, first_copy=1)
     cfg = LinkageConfig(num_partitions=8)
     old_clusters = run_linkage(old_docs, cfg)
     return run_linkage_incremental(old_clusters, old_docs, new_docs, cfg).sort("doc_id")
@@ -87,25 +105,39 @@ def _exact_dedup_documents(sf_dir: str):
 
 
 def _minhash_dedup_documents(sf_dir: str):
+    """Survivor set after MinHash-LSH near-dup clustering over the planted
+    corpus: each planted group {id, id+1e6} keeps min = id, so the survivor
+    set is exactly the original id column — SQL-derivable, with zero
+    tolerance for missed duplicates (a miss keeps id+1e6) or over-merges
+    (a cross-group merge drops an id). The real-corpus run (organic
+    near-dups, not formula-derivable) is exercised by bench.py and
+    tests/test_dedup.py."""
     import ray.data as rd
 
-    from entity_matching_datasets_ray.stages.dedup import minhash_dedup_pairs
+    from entity_matching_datasets_ray.stages.dedup import minhash_dedup
+    from entity_matching_datasets_ray.synth import planted_dup_docs
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return minhash_dedup_pairs(ds, threshold=0.8).sort(["left_id", "right_id"])
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    fixture = planted_dup_docs(ids, mode="minhash")
+    return minhash_dedup(fixture, threshold=0.8).sort("doc_id")
 
 
-def _simhash_pairs_documents(sf_dir: str):
+def _simhash_dedup_documents(sf_dir: str):
+    """Survivor set after SimHash near-dup clustering over the planted
+    corpus (mode="simhash": the planted dup reverses token order —
+    identical token bag, Hamming distance 0). Each planted group
+    {id, id+1e6} keeps min = id, so the survivor set is exactly the
+    original id column — SQL-derivable, with zero tolerance for missed
+    duplicates or cross-group merges. The real-corpus simhash pair run
+    (organic near-dups) is exercised by bench.py and tests/test_dedup.py."""
     import ray.data as rd
 
-    from entity_matching_datasets_ray.stages.dedup import simhash_dedup_pairs
+    from entity_matching_datasets_ray.stages.dedup import simhash_dedup
+    from entity_matching_datasets_ray.synth import planted_dup_docs
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return (
-        simhash_dedup_pairs(ds, max_hamming=3)
-        .select_columns(["left_id", "right_id"])
-        .sort(["left_id", "right_id"])
-    )
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    fixture = planted_dup_docs(ids, mode="simhash")
+    return simhash_dedup(fixture, max_hamming=3).sort("doc_id")
 
 
 def _dedup_planted(sf_dir: str, mode: str):
@@ -222,24 +254,45 @@ def _ann_bruteforce(sf_dir: str):
 
 
 def _ann_ivf(sf_dir: str):
+    """IVF top-k with nprobe="all": the cells partition the corpus, so the
+    result must equal the brute-force top-k exactly — the SQL oracle
+    checks assignment + cell scan + merge end to end (a vector lost by the
+    assignment or double-counted across cells breaks the equality). The
+    approximate configuration (nprobe << cells) is oracle-checked by
+    ann_ivf_planted (twin recovery) and benchmarked in bench.py."""
     import ray.data as rd
 
     from entity_matching_datasets_ray.stages.ann import ivf_topk
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     q = ds.sort("vec_id").limit(5).to_pandas()
-    out = ivf_topk(ds, q["vec_id"].tolist(), np.stack(q["embedding"].to_numpy()), k=10)
+    out = ivf_topk(
+        ds, q["vec_id"].tolist(), np.stack(q["embedding"].to_numpy()), k=10, nprobe="all"
+    )
     return out.select_columns(["query_id", "match_id"]).sort(["query_id", "match_id"])
 
 
 def _ann_lsh(sf_dir: str):
+    """LSH top-k with probes="all" over 2^4 hyperplane buckets: the buckets
+    partition the corpus, so the result must equal the brute-force top-k
+    exactly — the SQL oracle checks doc/query signature consistency +
+    bucket scan + merge end to end. The approximate configuration (exact
+    sig + low-margin flips) is oracle-checked by ann_lsh_planted (twin
+    recovery) and benchmarked in bench.py."""
     import ray.data as rd
 
     from entity_matching_datasets_ray.stages.ann import lsh_topk
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     q = ds.sort("vec_id").limit(5).to_pandas()
-    out = lsh_topk(ds, q["vec_id"].tolist(), np.stack(q["embedding"].to_numpy()), k=10)
+    out = lsh_topk(
+        ds,
+        q["vec_id"].tolist(),
+        np.stack(q["embedding"].to_numpy()),
+        k=10,
+        num_planes=4,
+        probes="all",
+    )
     return out.select_columns(["query_id", "match_id"]).sort(["query_id", "match_id"])
 
 
@@ -363,32 +416,54 @@ def _media_features(sf_dir: str):
 
 
 def _ditto_convert(sf_dir: str):
-    """Ditto text round-trip over deterministic synthesized lines
-    (converter pipeline E1 — rows-only; parser unit tests cover values)."""
+    """Full Ditto converter pipeline (reference E1: parse COL/VAL lines ->
+    distributed schema-union inference -> column-order pinning -> wide-row
+    build with ""-fill) over formulaic lines, including planted malformed
+    lines that the M15 filter must drop. Every surviving cell is a pure
+    function of the row index, so the whole conversion — parsing, field
+    inference, fill, and the malformed-line filter — is SQL-derivable
+    (enrich_beer-style range() oracle). The content-hash row id (M6) is
+    deterministic but not SQL-expressible; it is round-trip unit-tested
+    (tests/test_ditto.py) and dropped here for the value compare."""
     import ray.data as rd
 
+    from entity_matching_datasets_ray.functions.normalizers import format_colval
     from entity_matching_datasets_ray.sources.ditto import (
-        parse_ditto_lines,
         infer_fields,
         order_fields,
+        parse_ditto_lines,
         to_wide_rows,
     )
-    from entity_matching_datasets_ray.synth import synth_docs_table
-    from entity_matching_datasets_ray.schema import fields_from_spans
-    from entity_matching_datasets_ray.functions.normalizers import format_colval
 
-    docs = synth_docs_table(100).to_pylist()
     lines = []
-    for i in range(0, len(docs) - 1, 2):
-        l = fields_from_spans(docs[i]["spans"])
-        r = fields_from_spans(docs[i + 1]["spans"])
+    for i in range(120):
+        if i % 10 == 9:
+            # malformed: no tab separators -> dropped + metered by M15
+            lines.append(f"garbage line without tabs {i}")
+            continue
+        left = {
+            "name": f"widget {i:04d}",
+            "brand": f"brand {i % 5}",
+            "price": f"{i}.99",
+        }
+        right = {"name": f"widget {i:04d} pro"}
+        if i % 3 != 0:
+            right["price"] = f"{i + 1}.99"
         lines.append(
-            f"{format_colval(l, sorted(l))}\t{format_colval(r, sorted(r))}\t{i % 2}"
+            f"{format_colval(left, ['name', 'brand', 'price'])}\t"
+            f"{format_colval(right, sorted(right))}\t{i % 2}"
         )
     raw = rd.from_arrow(pa.table({"text": pa.array(lines, pa.string())}))
     pairs = raw.map_batches(parse_ditto_lines, batch_format="pyarrow")
     fields = order_fields(infer_fields(pairs), ["name"])
-    return to_wide_rows(pairs, fields).sort("id")
+    wide = to_wide_rows(pairs, fields)
+
+    def for_oracle(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["id"])
+        idx = t.schema.get_field_index("label")
+        return t.set_column(idx, "label", t.column("label").cast(pa.int64()))
+
+    return wide.map_batches(for_oracle, batch_format="pyarrow").sort("left_name")
 
 
 def _enrich_beer(sf_dir: str):
@@ -476,7 +551,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkage_synth_f1": _linkage_synth_f1,
         "linkage_incremental": _linkage_incremental,
         "minhash_dedup_documents": _minhash_dedup_documents,
-        "simhash_pairs_documents": _simhash_pairs_documents,
+        "simhash_dedup_documents": _simhash_dedup_documents,
         "embedding_dedup_pairs": _embedding_dedup_pairs,
         "ann_bruteforce": _ann_bruteforce,
         "ann_lsh": _ann_lsh,
@@ -648,7 +723,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_counts_documents": """
             SELECT doc_id,
-                   len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens_ws
+                   len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens_ws
             FROM documents
             ORDER BY doc_id
         """,
@@ -709,8 +784,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id
             FROM documents
             GROUP BY array_to_string(
-                list_filter(string_split(lower(text), ' '), x -> x <> ''), ' ')
+                list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''), ' ')
             ORDER BY doc_id
+        """,
+        # planted exact-duplicate linkage fixture: the full blocking ->
+        # scoring -> CC -> canonical-election pipeline must produce exactly
+        # one cluster per id, canonical = copy 0 (see _linkage_clusters)
+        "linkage_clusters": """
+            SELECT 'p:' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || ':' || c AS doc_id,
+                   'p:' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || ':0' AS entity_id
+            FROM documents CROSS JOIN (VALUES (0), (1)) t(c)
+            ORDER BY doc_id
+        """,
+        "linkage_incremental": """
+            SELECT 'p:' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || ':' || c AS doc_id,
+                   'p:' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || ':0' AS entity_id
+            FROM documents CROSS JOIN (VALUES (0), (1)) t(c)
+            ORDER BY doc_id
+        """,
+        # perfect-linkage confusion counts over the planted fixture: one
+        # gold/predicted pair per id, all true positives
+        "linkage_synth_f1": """
+            SELECT 1.0 AS precision, 1.0 AS recall, 1.0 AS f1,
+                   count(*) AS tp,
+                   CAST(0 AS BIGINT) AS fp,
+                   CAST(0 AS BIGINT) AS fn,
+                   count(*) AS n_pred_pairs,
+                   count(*) AS n_gold_pairs,
+                   count(*) AS n_gold_joined
+            FROM documents
+        """,
+        # planted near-dup survivor set: min(id) per group {id, id+1e6} = id
+        "minhash_dedup_documents": """
+            SELECT doc_id FROM documents ORDER BY doc_id
+        """,
+        "simhash_dedup_documents": """
+            SELECT doc_id FROM documents ORDER BY doc_id
+        """,
+        # formulaic Ditto conversion incl. malformed-line filter and ""-fill
+        "ditto_convert": """
+            WITH t AS (
+                SELECT CAST(i AS BIGINT) AS i FROM range(120) r(i)
+                WHERE i % 10 <> 9
+            )
+            SELECT i % 2 AS label,
+                   'widget ' || lpad(CAST(i AS VARCHAR), 4, '0') AS left_name,
+                   'brand ' || CAST(i % 5 AS VARCHAR) AS left_brand,
+                   CAST(i AS VARCHAR) || '.99' AS left_price,
+                   'widget ' || lpad(CAST(i AS VARCHAR), 4, '0') || ' pro' AS right_name,
+                   '' AS right_brand,
+                   CASE WHEN i % 3 = 0 THEN ''
+                        ELSE CAST(i + 1 AS VARCHAR) || '.99' END AS right_price
+            FROM t ORDER BY left_name
         """,
         # planted-duplicate fixtures: expected pair set derives from ids
         "minhash_planted_pairs": """
@@ -727,6 +852,40 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY left_id, right_id
         """,
         "ann_bruteforce": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings ORDER BY vec_id LIMIT 5
+            ), scored AS (
+                SELECT query_id, e.vec_id AS match_id,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY list_cosine_similarity(qe, e.embedding) DESC,
+                                    e.vec_id
+                       ) AS rn
+                FROM q CROSS JOIN embeddings e
+            )
+            SELECT query_id, match_id FROM scored WHERE rn <= 10
+            ORDER BY query_id, match_id
+        """,
+        # full-probe IVF / LSH scan every cell/bucket, so their output must
+        # equal the brute-force top-k exactly (partition-coverage invariant)
+        "ann_ivf": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings ORDER BY vec_id LIMIT 5
+            ), scored AS (
+                SELECT query_id, e.vec_id AS match_id,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY list_cosine_similarity(qe, e.embedding) DESC,
+                                    e.vec_id
+                       ) AS rn
+                FROM q CROSS JOIN embeddings e
+            )
+            SELECT query_id, match_id FROM scored WHERE rn <= 10
+            ORDER BY query_id, match_id
+        """,
+        "ann_lsh": """
             WITH q AS (
                 SELECT vec_id AS query_id, embedding AS qe
                 FROM embeddings ORDER BY vec_id LIMIT 5
@@ -793,7 +952,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": """
             WITH d AS (
                 SELECT doc_id,
-                       list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                       list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
                 FROM documents
             ), sized AS (
                 SELECT doc_id, toks, len(toks) AS n,

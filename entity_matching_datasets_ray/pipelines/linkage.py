@@ -46,6 +46,11 @@ class LinkageConfig:
     checkpoint_root: str | None = None  # per-partition lineage checkpoint dir (resume)
     blocking_path: str = "auto"       # fused (1 shuffle) | multi (per-pass) | auto by CPU count
     snm_strategy: str = "bucket"      # bucket (first-token) | global (true sorted-neighborhood)
+    # evidence pre-rank: LSH-only pairs need >= this many band collisions
+    # to reach the scorer (1 = off); drops are metered in `pruned`.
+    # Default 2: -43% candidates / -30% scoring wall on the synth corpus
+    # for a 0.0017 F1 cost (0.9977 -> 0.9960, still >= the 0.99 gate)
+    min_lsh_collisions: int = 2
 
 
 def run_linkage(
@@ -90,6 +95,7 @@ def run_linkage(
         num_partitions=cfg.num_partitions,
         num_buckets=cfg.num_buckets or 8 * cfg.num_partitions,
         exact_keys=cfg.exact_keys,
+        min_lsh_collisions=cfg.min_lsh_collisions,
     )
     if timings is not None:
         pairs = pairs.materialize()
@@ -166,6 +172,15 @@ def run_linkage_incremental(
     (doc_id -> entity_id), so transitivity with the old components is
     preserved and the canonical min-id election stays consistent with a
     full recompute.
+
+    IDF-drift caveat: IDF is refit over the union, which also shifts
+    old-x-old pair scores — but old-x-old pairs are never rescored, so
+    full-recompute equivalence holds only when no old-x-old score crosses
+    the threshold under the refit IDF. In the steady-state regime this
+    pipeline targets (delta << corpus) the drift per fold is O(|delta|/n)
+    and the equivalence test in tests/test_pipeline_e2e.py holds; for
+    adversarial deltas, pin the IDF (pass the previous fold's dict) or
+    periodically run a full recompute.
     """
     import time as _time
 
@@ -207,6 +222,7 @@ def run_linkage_incremental(
         num_buckets=cfg.num_buckets or 8 * cfg.num_partitions,
         exact_keys=cfg.exact_keys,
         delta=True,
+        min_lsh_collisions=cfg.min_lsh_collisions,
     )
     if timings is not None:
         pairs = pairs.materialize()

@@ -115,6 +115,12 @@ def ivf_topk(
 
     ``num_centroids`` defaults to ~sqrt(corpus size) (the standard IVF
     sizing: cell scan cost ~ n/sqrt(n) per probe), clamped to [16, 4096].
+
+    ``nprobe="all"`` scans every cell — the cells partition the corpus, so
+    the result is EXACTLY the brute-force top-k (any vector lost by the
+    assignment or double-counted across cells breaks the equality). Used
+    by the ``ann_ivf`` oracle query to SQL-check assignment + cell scan +
+    merge end to end.
     """
     import ray
 
@@ -137,7 +143,8 @@ def ivf_topk(
     C_ref = ray.put(C)
 
     Q = _normalize(np.asarray(query_vectors, dtype=np.float32))
-    qcells = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    eff_nprobe = num_centroids if nprobe == "all" else nprobe
+    qcells = np.argsort(-(Q @ C.T), axis=1)[:, :eff_nprobe]  # (nq, nprobe)
     cell_to_queries: dict[int, list[tuple]] = {}
     for qi, qid in enumerate(query_ids):
         for c in qcells[qi]:
@@ -204,18 +211,28 @@ def lsh_topk(
     num_partitions: int = 8,
 ):
     """Bucketed approximate top-k: docs and queries are hashed with the same
-    deterministic hyperplanes; each query scans only its probe buckets."""
+    deterministic hyperplanes; each query scans only its probe buckets.
+
+    ``probes="all"`` enumerates every ``2**num_planes`` signature — the
+    buckets then cover the whole corpus and the result is EXACTLY the
+    brute-force top-k (the buckets partition the corpus; a vector lost or
+    double-counted by the bucketing would break the equality). Used by the
+    ``ann_lsh`` oracle query to SQL-check the bucket/scan/merge plumbing.
+    """
     Q = np.asarray(query_vectors, dtype=np.float32)
     dim = Q.shape[1]
     planes = np.random.RandomState(seed).randn(dim, num_planes).astype(np.float32)
     qsig_base = _plane_sigs(_normalize(Q), planes)
-    # query probe signatures: exact + lowest-margin bit flips
+    # query probe signatures: exact + lowest-margin bit flips (or all)
     qsigs: dict[int, list[tuple]] = {}
     proj = _normalize(Q) @ planes
     for qi, qid in enumerate(query_ids):
-        sigs = [int(qsig_base[qi])]
-        for b in np.argsort(np.abs(proj[qi]))[:probes]:
-            sigs.append(int(qsig_base[qi]) ^ (1 << int(b)))
+        if probes == "all":
+            sigs = list(range(1 << num_planes))
+        else:
+            sigs = [int(qsig_base[qi])]
+            for b in np.argsort(np.abs(proj[qi]))[:probes]:
+                sigs.append(int(qsig_base[qi]) ^ (1 << int(b)))
         for s in sigs:
             qsigs.setdefault(s, []).append((qid, qi))
     ref = ray.put({"qsigs": qsigs, "Q": _normalize(Q)})

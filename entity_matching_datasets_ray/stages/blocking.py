@@ -679,13 +679,28 @@ def exact_key_pairs(
 # --------------------------------------------------------------------------
 
 
-def dedup_pairs(pairs, num_buckets: int = DEFAULT_NUM_BUCKETS, num_partitions: int | None = None):
+def dedup_pairs(
+    pairs,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    num_partitions: int | None = None,
+    min_lsh_collisions: int = 1,
+):
     """Exact candidate-pair dedup across blocking passes.
 
     Bucket by pair-content hash, shuffle by bucket, pandas
     ``drop_duplicates`` within bucket — the engine-level analogue of the
     reference's md5 pair cache (wdc/computers/prompt.py:169): identical
     work is detected *before* the expensive scoring stage.
+
+    ``min_lsh_collisions > 1`` additionally PRE-RANKS the candidates by
+    evidence: a pair backed only by LSH band collisions must have collided
+    in at least that many bands to reach the scorer (single-band collisions
+    are dominated by low-Jaccard noise), while pairs with any non-LSH
+    evidence (SNM neighborhood, exact key) always survive. Since all of a
+    pair's occurrences hash to the same bucket, the collision count is
+    exact. Dropped pairs are metered in the ``pruned`` column (per-bucket
+    count carried on every surviving row, like ``overflow``), never
+    silent.
     """
 
     def add_bucket(t: pa.Table) -> pa.Table:
@@ -695,7 +710,28 @@ def dedup_pairs(pairs, num_buckets: int = DEFAULT_NUM_BUCKETS, num_partitions: i
         return t.append_column("bucket", pa.array(b, pa.int32()))
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(["left_id", "right_id"])[["left_id", "right_id", "src"]]
+        if min_lsh_collisions <= 1:
+            out = df.drop_duplicates(["left_id", "right_id"])[
+                ["left_id", "right_id", "src"]
+            ].copy()
+            out["pruned"] = np.int64(0)
+            return out
+        is_lsh = (df["src"] == "lsh").to_numpy()
+        g = pd.DataFrame(
+            {
+                "left_id": df["left_id"].to_numpy(),
+                "right_id": df["right_id"].to_numpy(),
+                "src": df["src"].to_numpy(),
+                "n_lsh": is_lsh.astype(np.int64),
+                "n_any": np.ones(len(df), dtype=np.int64),
+            }
+        ).groupby(["left_id", "right_id"], sort=False, as_index=False).agg(
+            src=("src", "first"), n_lsh=("n_lsh", "sum"), n_any=("n_any", "sum")
+        )
+        keep = (g["n_any"] > g["n_lsh"]) | (g["n_lsh"] >= min_lsh_collisions)
+        out = g.loc[keep, ["left_id", "right_id", "src"]].copy()
+        out["pruned"] = np.int64((~keep).sum())
+        return out
 
     return (
         pairs.map_batches(add_bucket, batch_format="pyarrow")
@@ -718,6 +754,7 @@ def candidate_pairs_multi_pass(
         ("skeleton_key",),
     ),
     snm_strategy: str = "bucket",
+    min_lsh_collisions: int = 1,
 ):
     """Union of the separate blocking passes, exact-deduped (reference
     formulation: one shuffle per pass + a dedup shuffle).
@@ -755,7 +792,12 @@ def candidate_pairs_multi_pass(
     unioned = passes[0]
     for p in passes[1:]:
         unioned = unioned.union(p)
-    return dedup_pairs(unioned, num_buckets=num_buckets, num_partitions=num_partitions)
+    return dedup_pairs(
+        unioned,
+        num_buckets=num_buckets,
+        num_partitions=num_partitions,
+        min_lsh_collisions=min_lsh_collisions,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -883,6 +925,7 @@ def candidate_pairs(
     salt_hot_keys: bool = True,
     salt_threshold: int = DEFAULT_SALT_THRESHOLD,
     salt_factor: int = DEFAULT_SALT_FACTOR,
+    min_lsh_collisions: int = 1,
 ):
     """All blocking passes fused: one key-emission actor pool, one bucketed
     shuffle, per-bucket pair emission with in-bucket dedup, one final
@@ -935,11 +978,21 @@ def candidate_pairs(
         if len(hot):
             keyed = _salt_keys(keyed, hot, salt_factor)
 
+    # per-pair src class rides to dedup_pairs so evidence-based pre-ranking
+    # (min_lsh_collisions) can distinguish LSH-only pairs there
+    _kind_src = {
+        FusedKeyEmitter.KIND_SNM: "snm",
+        FusedKeyEmitter.KIND_LSH: "lsh",
+        FusedKeyEmitter.KIND_EXACT: "exact",
+    }
+
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         left: list = []
         right: list = []
+        srcs: list = []
         overflow = 0
         for (key64, kind), g in df.groupby(["key64", "kind"], sort=False):
+            before = len(left)
             if kind == FusedKeyEmitter.KIND_SNM:
                 g = g.sort_values(["sort_key", "doc_id"])
                 ids = g["doc_id"].to_numpy()
@@ -964,15 +1017,40 @@ def candidate_pairs(
                 else:
                     ids = np.sort(g["doc_id"].unique())
                     overflow += _emit_capped(ids, max_pairs_per_block, left, right)
-        out = _pairs_frame(left, right, "fused", overflow)
-        return out.drop_duplicates(["left_id", "right_id"])
+            srcs.extend([_kind_src[kind]] * (len(left) - before))
+        out = pd.DataFrame(
+            {
+                "left_id": pd.Series(left, dtype=str),
+                "right_id": pd.Series(right, dtype=str),
+                "src": pd.Series(srcs, dtype=str),
+                "overflow": pd.Series([overflow] * len(left), dtype=np.int64),
+            }
+        )
+        # collapse duplicate non-LSH evidence in-bucket; keep LSH band
+        # multiplicity — it IS the pre-ranking signal, and it is only
+        # assembled exactly at dedup_pairs, whose shuffle buckets by pair
+        # content (this stage buckets by band key, so a pair's bands are
+        # spread across buckets here)
+        lsh_mask = out["src"].to_numpy() == "lsh"
+        return pd.concat(
+            [
+                out[~lsh_mask].drop_duplicates(["left_id", "right_id"]),
+                out[lsh_mask],
+            ],
+            ignore_index=True,
+        )
 
     pairs = (
         keyed.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket", num_partitions=num_partitions)
         .map_groups(per_bucket, batch_format="pandas")
     )
-    return dedup_pairs(pairs, num_buckets=num_buckets, num_partitions=num_partitions)
+    return dedup_pairs(
+        pairs,
+        num_buckets=num_buckets,
+        num_partitions=num_partitions,
+        min_lsh_collisions=min_lsh_collisions,
+    )
 
 
 # Below this many effective CPUs the fused single-shuffle plan loses to the

@@ -506,6 +506,18 @@ def simhash_dedup_pairs(
     )
 
 
+def simhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text", **kw):
+    """Survivor ids after SimHash near-dup clustering (min id per cluster):
+    pigeonhole-chunked candidate pairs -> connected components -> keep each
+    component's min id (same survivor election as :func:`minhash_dedup`)."""
+    num_partitions = kw.get("num_partitions", 16) or 16
+    pairs = simhash_dedup_pairs(ds, id_col, text_col, **kw)
+    ids = ds.select_columns([id_col])
+    if id_col != "doc_id":
+        ids = ids.map_batches(lambda t: t.rename_columns(["doc_id"]), batch_format="pyarrow")
+    return _survivors_from_pairs(pairs, ids, num_partitions)
+
+
 # --------------------------------------------------------------------------
 # embedding-cosine near-dup
 # --------------------------------------------------------------------------

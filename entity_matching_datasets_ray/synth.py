@@ -340,6 +340,68 @@ def synth_docs_dataset(n_entities: int, seed: int = 42, parallelism: int = -1):
 PLANTED_ID_OFFSET = 1_000_000
 
 
+def planted_linkage_docs(
+    ids_ds, id_col: str = "doc_id", copies: int = 2, n_tokens: int = 8, first_copy: int = 0
+):
+    """Exact-duplicate linkage fixture over an id column (the planted-
+    fixture pattern, applied to the FULL linkage pipeline).
+
+    Each id becomes ``copies`` identical spans-table documents
+    ``p:{id:08d}:{c}`` whose single entity field is a hash-derived token
+    name — a pure function of the id, mutually dissimilar across ids. A
+    correct blocking→scoring→CC pipeline must therefore produce exactly
+    the clusters ``{p:id:0 … p:id:copies-1}`` with canonical entity
+    ``p:id:0`` — SQL-derivable from the id column alone, with zero
+    tolerance for cross-id merges (precision) or split clusters (recall).
+
+    Built as a streaming ``map_batches``; nothing is materialized on the
+    driver.
+    """
+
+    def gen(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        rows = []
+        for i in ids:
+            name = " ".join(f"{hash64(f'pl:{i}:{j}'):016x}" for j in range(n_tokens))
+            spans = spans_from_fields([("name", name)])
+            for c in range(first_copy, first_copy + copies):
+                rows.append(
+                    {
+                        "doc_id": f"p:{int(i):08d}:{c}",
+                        "dataset": "planted",
+                        "spans": spans,
+                    }
+                )
+        return pa.Table.from_pylist(rows, schema=DOCS_SCHEMA)
+
+    return ids_ds.select_columns([id_col]).map_batches(gen, batch_format="pyarrow")
+
+
+def planted_truth_pairs(ids_ds, id_col: str = "doc_id", copies: int = 2):
+    """Gold positive pairs for ``planted_linkage_docs``: every intra-id
+    doc pair, label 1 (streaming)."""
+
+    def gen(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        left, right = [], []
+        for i in ids:
+            names = [f"p:{int(i):08d}:{c}" for c in range(copies)]
+            for a in range(copies):
+                for b in range(a + 1, copies):
+                    left.append(names[a])
+                    right.append(names[b])
+        return pa.Table.from_arrays(
+            [
+                pa.array(left, pa.string()),
+                pa.array(right, pa.string()),
+                pa.array([1] * len(left), pa.int8()),
+            ],
+            schema=PAIRS_SCHEMA,
+        )
+
+    return ids_ds.select_columns([id_col]).map_batches(gen, batch_format="pyarrow")
+
+
 def planted_dup_docs(ids_ds, id_col: str = "doc_id", mode: str = "minhash", n_tokens: int = 30):
     """Deterministic near-dup fixture over an id column: for each id, a
     base document of hash-derived 16-hex-char tokens (pure function of the
