@@ -1,6 +1,7 @@
 """Enrichment-pipeline tests: per-spec normalization semantics
 (reference E2, deterministic replacements for the prompt rules)."""
 
+import pandas as pd
 import pyarrow as pa
 import pytest
 import ray.data as rd
@@ -117,3 +118,24 @@ def test_enrich_pairs_dataset():
 def test_wdc_title_cleanup():
     rec = normalize_record({"title": '"Seagate ST31000524NS 3.5in | CDW.com"@en'}, SPECS["wdc"])
     assert rec["title"] == "Seagate ST31000524NS 3.5 inch"
+
+
+GOLDEN_BEER = "/root/reference/DeepMather/Beer/geemazero/train_enriched.csv"
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(GOLDEN_BEER), reason="reference absent")
+def test_beer_enriched_schema_matches_reference_golden():
+    """Golden-output conformance (M12): the engine's enriched wide schema
+    over the reference's own raw Beer train.csv must equal the header of
+    the reference's regenerable golden file, column for column in order
+    (DeepMather/Beer/geemazero/train_enriched.csv:1)."""
+    import csv
+
+    with open(GOLDEN_BEER, newline="") as f:
+        golden_header = next(csv.reader(f))
+
+    raw = pd.read_csv("/root/reference/DeepMather/Beer/train.csv", nrows=8)
+    out = enrich_pairs(rd.from_pandas(raw), SPECS["beer"])
+    assert out.schema().names == golden_header
+    # row shape: one enriched row per raw pair row, no drops
+    assert out.count() == len(raw)
