@@ -70,6 +70,14 @@ FEATURE_NAMES = [
     # carry numeric tokens with zero overlap — a version/model CONFLICT,
     # distinct from one-side-missing (which num_jac scores 0.0 too).
     "name_num_conflict",
+    # product-title spec block (functions/titles.py — deterministic
+    # stand-in for the reference computer prompt's attribute rules,
+    # DeepMather/computer/single.py:40-64). All default-weight 0; the
+    # per-corpus conformance fits learn them where titles carry specs.
+    "name_sku_jac",        # part-number token overlap (0.5 none / 0 one-side)
+    "name_sku_conflict",   # both sides carry part numbers, zero overlap
+    "name_cap_conflict",   # both sides carry capacities, zero overlap
+    "name_spec_jac",       # canonical interface/speed/form-factor overlap
 ]
 
 # Calibrated on the deterministic synthetic corpus: fit_logistic over the
@@ -106,6 +114,10 @@ DEFAULT_WEIGHTS = {
     # 0 by default (doesn't perturb the synth-calibrated scores);
     # per-corpus fits learn a negative weight where versions discriminate.
     "name_num_conflict": 0.0,
+    "name_sku_jac": 0.0,
+    "name_sku_conflict": 0.0,
+    "name_cap_conflict": 0.0,
+    "name_spec_jac": 0.0,
     "_intercept": -16.798,
 }
 
@@ -161,9 +173,22 @@ class _Side:
     candidate pairs, so tokenization / shingling / TF-IDF vectorization are
     amortized across all of them."""
 
-    __slots__ = ("name", "capped", "tok_set", "num_set", "shingles", "vec", "norm")
+    __slots__ = (
+        "name",
+        "capped",
+        "tok_set",
+        "num_set",
+        "shingles",
+        "vec",
+        "norm",
+        "spec_set",
+        "cap_set",
+        "sku_set",
+    )
 
     def __init__(self, name: str, idf: dict[str, float], default_idf: float):
+        from ..functions.titles import title_profile
+
         self.name = name
         self.capped = name[:EDIT_KERNEL_CAP]
         tokens = name.split(" ") if name else []
@@ -171,6 +196,9 @@ class _Side:
         # digit-bearing tokens (model numbers, sizes, years) — the highest-
         # signal tokens in product titles; their overlap is a feature.
         self.num_set = {t for t in self.tok_set if any(c.isdigit() for c in t)}
+        # product-title spec block (amortized across the side's pairs by
+        # the per-actor side cache, like everything else in this class)
+        self.spec_set, self.cap_set, self.sku_set = title_profile(name)
         self.shingles = S.ngram_shingles(name, 3)
         tf: dict[str, int] = {}
         for t in tokens:
@@ -226,6 +254,25 @@ def _name_features_cheap(l: _Side, r: _Side) -> tuple[float, float, float, float
     return jac, ng, contain, tfidf, num_jac, tfidf_contain, num_conflict, gated
 
 
+def _jac_or_missing(a: frozenset, b: frozenset) -> float:
+    if not a and not b:
+        return 0.5
+    if not a or not b:
+        return 0.0
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter)
+
+
+def _title_spec_block(l: _Side, r: _Side) -> tuple[float, float, float, float]:
+    """(sku_jac, sku_conflict, cap_conflict, spec_jac) — the appended
+    product-title features; missing conventions mirror num_jac/num_conflict."""
+    sku_jac = _jac_or_missing(l.sku_set, r.sku_set)
+    sku_conflict = 1.0 if (l.sku_set and r.sku_set and not (l.sku_set & r.sku_set)) else 0.0
+    cap_conflict = 1.0 if (l.cap_set and r.cap_set and not (l.cap_set & r.cap_set)) else 0.0
+    spec_jac = _jac_or_missing(l.spec_set, r.spec_set)
+    return sku_jac, sku_conflict, cap_conflict, spec_jac
+
+
 def _name_features(l: _Side, r: _Side, edit_memo: dict | None = None) -> tuple[float, float, float, float, float, float, float, float]:
     """(jw, lev, jac, ng_jac, contain, tfidf, num_jac, tfidf_contain)
     between two cached sides.
@@ -266,6 +313,7 @@ def _batch_name_features(
     )
 
     conflict_idx = FEATURE_NAMES.index("name_num_conflict")
+    sku_jac_idx = FEATURE_NAMES.index("name_sku_jac")
     n = len(lnames)
     pending: dict[tuple, list[int]] = {}
     for i in range(n):
@@ -279,6 +327,7 @@ def _batch_name_features(
         feats[i, 6] = num_jac
         feats[i, 7] = tfc
         feats[i, conflict_idx] = num_conflict
+        feats[i, sku_jac_idx : sku_jac_idx + 4] = _title_spec_block(ls, rs)
         if gated:
             feats[i, 0] = feats[i, 1] = ng
             continue
@@ -357,6 +406,7 @@ def compute_pair_features(left: dict, right: dict, idf: dict[str, float], defaul
         [jw, lev, name_jac, name_ng, contain, tfidf, num_jac, tfc]
         + _aux_features(left, right)
         + [num_conflict]
+        + list(_title_spec_block(ls, rs))
     )
 
 

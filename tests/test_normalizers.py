@@ -166,3 +166,28 @@ def test_price_roundtrip(v):
     v = round(v, 2)
     assert N.parse_price(f"${v:.2f}") == v
     assert N.parse_price(N.format_price_usd(v)) == v
+
+
+def test_title_profile_spec_canonicalization():
+    """Reference computer prompt equivalences (computer/single.py:40-64):
+    SATA III == SATA 3 == SATA 6Gb/s; USB 3.1 Gen1 == USB 3.0; capacities
+    unify across unit spellings; part numbers survive exactly."""
+    from entity_matching_datasets_ray.functions.normalizers import normalize_name
+    from entity_matching_datasets_ray.functions.titles import title_profile
+
+    a = title_profile(normalize_name('Seagate Barracuda ST2000DM006 2TB 3.5in SATA III 7200RPM'))
+    b = title_profile(normalize_name('Seagate Barracuda 2 TB ST2000DM006 SATA 6Gb/s 3.5" 7200 RPM'))
+    assert a == b
+    spec, cap, sku = a
+    assert spec == frozenset({"sata6g", "3.5in", "7200rpm"})
+    assert cap == frozenset({"2048gb"})
+    assert sku == frozenset({"st2000dm006"})
+
+    s1 = title_profile(normalize_name("SanDisk Ultra USB 3.1 Gen1 64GB"))
+    s2 = title_profile(normalize_name("SanDisk Ultra USB 3.0 64 GB"))
+    assert s1 == s2
+    # different capacity -> conflict signal is derivable (disjoint cap sets)
+    s3 = title_profile(normalize_name("SanDisk Ultra USB 3.0 128GB"))
+    assert not (s1[1] & s3[1]) and s1[1] and s3[1]
+    # "sata 6gb s" must NOT leak a 6gb capacity
+    assert title_profile(normalize_name("WD Red 6TB SATA 6Gb/s"))[1] == frozenset({"6144gb"})
