@@ -518,6 +518,45 @@ def _reference_conformance(sf_dir: str):
     return C.conformance_report(["Beer", "Fodors"], num_partitions=8)
 
 
+def _jaccard_join_documents(sf_dir: str):
+    """EXACT token-Jaccard similarity self-join (AllPairs/PPJoin prefix
+    filter) over the documents corpus — unlike the MinHash/SimHash paths
+    this operator guarantees 100% recall, so the whole distributed join
+    (rarest-first prefix emission, bucketed candidate shuffle, length
+    filter, exact verify) is value-checked against a brute-force DuckDB
+    cross join, jaccard doubles bit-identical (two small ints divided)."""
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.stages.dedup import jaccard_similarity_join
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return jaccard_similarity_join(
+        ds, threshold=0.7, id_col="doc_id", text_col="text"
+    ).sort(["left_id", "right_id"])
+
+
+def _sessionize_events(sf_dir: str):
+    """Gap-based sessionization of the events stream per user (30-min
+    inactivity gap) — the lag-carry pattern extended with a session-count
+    prefix sum: one global sort, one tiny summary row per block, no
+    whole-key pandas group (scale-safe for keys spanning partitions)."""
+    from datetime import timedelta
+
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.stages.windows import sessionize
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    return sessionize(
+        ds,
+        key_col="user_id",
+        ts_col="ts",
+        id_col="event_id",
+        gap=timedelta(minutes=30),
+        num_partitions=16,
+    ).sort("event_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from entity_matching_datasets_ray.pipelines import relational as R
 
@@ -531,6 +570,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_3h": R.q_events_sliding_3h,
         "events_lag": R.q_events_lag,
         "events_asof": R.q_events_asof,
+        "sessionize_events": _sessionize_events,
+        "jaccard_join_documents": _jaccard_join_documents,
         "part_type_stats": R.q_part_type_stats,
         "distinct_langs": R.q_distinct_langs,
         "customer_order_stats": R.q_customer_order_stats,
@@ -644,6 +685,45 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT event_id, ts FROM events WHERE event_type = 'click') c
               ON c.ts <= p.ts
             ORDER BY p.event_id
+        """,
+        # gap-based sessionization == the SQL lag-gap-flag + running-sum
+        # window idiom (30-min inactivity gap per user)
+        "sessionize_events": """
+            WITH e AS (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT event_id, user_id, ts,
+                   CAST(user_id AS VARCHAR) || ':' || CAST(
+                       sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING)
+                   AS VARCHAR) AS session_id
+            FROM e ORDER BY event_id
+        """,
+        # exact prefix-filter similarity join vs brute-force cross join
+        # over distinct lowercase whitespace tokens; jaccard doubles are
+        # two small ints divided -> bit-identical on both sides
+        "jaccard_join_documents": """
+            WITH d AS (
+                SELECT doc_id,
+                       list_distinct(list_filter(
+                           string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS toks
+                FROM documents
+            )
+            SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                   len(list_intersect(a.toks, b.toks)) /
+                   CAST(len(a.toks) + len(b.toks)
+                        - len(list_intersect(a.toks, b.toks)) AS DOUBLE) AS jaccard
+            FROM d a JOIN d b ON a.doc_id < b.doc_id
+            WHERE len(a.toks) > 0 AND len(b.toks) > 0
+              AND len(list_intersect(a.toks, b.toks)) /
+                  CAST(len(a.toks) + len(b.toks)
+                       - len(list_intersect(a.toks, b.toks)) AS DOUBLE) >= 0.7
+            ORDER BY left_id, right_id
         """,
         "part_type_stats": """
             SELECT p_type,

@@ -185,6 +185,31 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     ).count()
     queries["chunk_documents"] = round(time.time() - t0, 2)
 
+    t0 = time.time()
+    from entity_matching_datasets_ray.stages.dedup import jaccard_similarity_join
+
+    jaccard_similarity_join(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        threshold=0.7,
+        num_partitions=num_cpus,
+    ).count()
+    queries["jaccard_join"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    from datetime import timedelta
+
+    from entity_matching_datasets_ray.stages.windows import sessionize
+
+    sessionize(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]),
+        key_col="user_id",
+        ts_col="ts",
+        id_col="event_id",
+        gap=timedelta(minutes=30),
+        num_partitions=num_cpus,
+    ).count()
+    queries["sessionize_events"] = round(time.time() - t0, 2)
+
     result = {
         "metric": "linkage_synth_sec",
         "value": round(linkage_sec, 2),

@@ -30,6 +30,7 @@ import pyarrow as pa
 from ..functions.hashing import (
     band_keys,
     hamming64,
+    hash64,
     make_perm_params,
     minhash_signature_matrix,
     simhash64,
@@ -684,4 +685,217 @@ def embedding_dedup_pairs(
         batch_format="pandas",
         batch_size=4096,
         concurrency=(1, 8),
+    )
+
+
+# --------------------------------------------------------------------------
+# exact set-similarity join (prefix filtering)
+# --------------------------------------------------------------------------
+
+
+class _TokenJaccardVerify(_JaccardVerify):
+    """Exact WORD-token Jaccard verify (the n-gram variant uses char
+    shingles); same per-actor memo and broadcast/join duality."""
+
+    def _shingles(self, text) -> frozenset:
+        key = text or ""
+        s = self._shingle_cache.get(key)
+        if s is None:
+            if len(self._shingle_cache) >= self._CACHE_MAX:
+                self._shingle_cache.clear()
+            s = frozenset(t for t in key.lower().split() if t)
+            self._shingle_cache[key] = s
+        return s
+
+
+def _common_token_dfs(ds, id_col, text_col, common_vocab: int) -> dict:
+    """Document frequency of the ``common_vocab`` most frequent tokens.
+
+    Partial per-batch counts -> groupby(token).sum -> top-K: the shuffle
+    moves one row per distinct token per batch; only the K-row head ever
+    reaches the driver. The long rare tail deliberately stays out of the
+    map — rare tokens are exactly the ones the prefix filter wants FIRST,
+    and their relative order can be any consistent one (hash order)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for s in t.column(text_col).to_pylist():
+            for tok in frozenset((s or "").lower().split()):
+                counts[tok] = counts.get(tok, 0) + 1
+        return pa.table(
+            {
+                "token": pa.array(list(counts.keys()), pa.string()),
+                "df": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    dfs = (
+        ds.select_columns([text_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"))
+        .sort("df", descending=True)
+        .limit(common_vocab)
+        .to_pandas()
+    )
+    return dict(zip(dfs["token"], dfs["df"]))
+
+
+def jaccard_similarity_join(
+    ds,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = 16,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    max_pairs_per_block: int | None = None,
+    common_vocab: int = 100_000,
+    n_docs: int | None = None,
+    attach_strategy: str = "auto",
+    concurrency=(1, 8),
+):
+    """EXACT token-Jaccard similarity self-join (AllPairs/PPJoin-style
+    prefix filtering): all pairs with Jaccard(tokens(a), tokens(b)) >=
+    ``threshold`` over distinct lowercase whitespace tokens — 100% recall,
+    unlike the MinHash/SimHash probabilistic paths, so the whole operator
+    is SQL-oracle-checkable against a brute-force cross join.
+
+    Prefix filter: under ANY consistent global token order, two sets with
+    Jaccard >= t must share a token within each side's first
+    ``L - ceil(t*L) + 1`` tokens, so only prefix tokens are emitted to the
+    shuffle — (token, id) rows, never the token sets themselves. The
+    order used is rarest-first: the rare tail (outside the broadcast
+    top-``common_vocab`` DF map) sorts first by token hash, the common
+    head last by descending frequency rank, which keeps prefix blocks
+    small and stopword blocks out of prefixes. Candidates are bucketed,
+    capped + metered (``overflow``), deduped (``dedup_pairs``), then
+    verified with exact Jaccard via the adaptive broadcast/shuffle text
+    attach shared with MinHash."""
+    import math as _math
+
+    import ray
+
+    from .blocking import dedup_pairs
+
+    dfs_ref = ray.put(_common_token_dfs(ds, id_col, text_col, common_vocab))
+
+    def prefix_rows(t: pa.Table) -> pa.Table:
+        dfs: dict = ray.get(dfs_ref)
+        ids = t.column(id_col).to_pylist()
+        texts = t.column(text_col).to_pylist()
+        out_ids, out_band, out_n = [], [], []
+        for did, s in zip(ids, texts):
+            toks = frozenset(tok for tok in (s or "").lower().split() if tok)
+            L = len(toks)
+            if L == 0:
+                continue  # Jaccard undefined; brute force skips them too
+            # round() guards the float product: 0.9*20 == 18.000000000000004
+            # would otherwise ceil to 19 and silently shrink the prefix
+            # below the recall-safe bound
+            p = L - _math.ceil(round(threshold * L, 9)) + 1
+            ordered = sorted(
+                toks,
+                key=lambda tok: (
+                    (1, dfs[tok], tok) if tok in dfs else (0, hash64(tok), tok)
+                ),
+            )
+            for tok in ordered[:p]:
+                out_ids.append(did)
+                out_band.append(hash64(tok))  # band collisions only ADD
+                # candidates (verified away later) — exactness holds
+                out_n.append(L)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, type=t.schema.field(id_col).type),
+                "band": pa.array(out_band, pa.uint64()),
+                "n_tok": pa.array(out_n, pa.int32()),
+            }
+        )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        with np.errstate(over="ignore"):
+            h = t.column("band").combine_chunks().to_numpy(zero_copy_only=False) * np.uint64(
+                0x9E3779B97F4A7C15
+            )
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int32), pa.int32())
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        """Pairs within each prefix-token group, LENGTH-filtered (jac >= t
+        forces t*|A| <= |B| <= |A|/t) and UNCAPPED by default — an exact
+        join must not drop candidates. ``max_pairs_per_block`` is the
+        opt-in scale valve (metered in ``overflow``); leaving it None is
+        the exactness contract the SQL oracle checks."""
+        left, right = [], []
+        overflow = 0
+        for _, g in df.groupby("band", sort=False):
+            g = g.drop_duplicates("doc_id").sort_values(["n_tok", "doc_id"])
+            ids = g["doc_id"].to_numpy()
+            ns = g["n_tok"].to_numpy(dtype=np.float64)
+            k = len(ids)
+            emitted = 0
+            for i in range(k - 1):
+                # docs sorted by size: partners beyond n_i/t can't match
+                hi_n = ns[i] / threshold + 1e-9
+                j = i + 1
+                while j < k and ns[j] <= hi_n:
+                    if max_pairs_per_block is not None and emitted >= max_pairs_per_block:
+                        overflow += 1
+                    else:
+                        a, b = ids[i], ids[j]
+                        if b < a:
+                            a, b = b, a
+                        left.append(a)
+                        right.append(b)
+                        emitted += 1
+                    j += 1
+        out = pd.DataFrame({"left_id": left, "right_id": right}).drop_duplicates()
+        out["src"] = "pfx"
+        out["overflow"] = np.int64(overflow)
+        return out
+
+    hi = concurrency[1] if isinstance(concurrency, tuple) else int(concurrency or 8)
+    src = ds.select_columns([id_col, text_col]).repartition(max(2 * hi, num_partitions or 0))
+    cands = (
+        src.map_batches(prefix_rows, batch_format="pyarrow", batch_size=2048)
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket", num_partitions=num_partitions)
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    # a pair can share several prefix tokens -> exact dedup before verify
+    cands = dedup_pairs(cands, num_buckets=num_buckets, num_partitions=num_partitions)
+
+    if attach_strategy == "auto":
+        if n_docs is None:
+            n_docs = ds.count()
+        attach_strategy = (
+            "broadcast"
+            if n_docs <= BROADCAST_MAX_DOCS
+            and _est_text_bytes(ds, id_col, text_col, n_docs) <= BROADCAST_MAX_BYTES
+            else "shuffle"
+        )
+
+    if attach_strategy == "broadcast":
+        tdf = ds.select_columns([id_col, text_col]).to_pandas()
+        texts_ref = ray.put(dict(zip(tdf[id_col], tdf[text_col])))
+
+        def verify_task(batch: pd.DataFrame) -> pd.DataFrame:
+            return _TokenJaccardVerify(threshold, 0, texts_ref)(batch)
+
+        return cands.select_columns(["left_id", "right_id"]).map_batches(
+            verify_task, batch_format="pandas", batch_size=2048
+        )
+
+    withtext = _attach_texts(
+        cands.select_columns(["left_id", "right_id"]), ds, id_col, text_col,
+        num_partitions or 16,
+    )
+    return withtext.map_batches(
+        _TokenJaccardVerify,
+        fn_constructor_args=(threshold, 0),
+        batch_format="pandas",
+        batch_size=2048,
+        concurrency=concurrency,
     )

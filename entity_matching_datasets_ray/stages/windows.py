@@ -309,3 +309,120 @@ def asof_join(
         return pa.table({n: cols[n] for n in out_names}).filter(mask)
 
     return s.map_batches(fill, batch_format="pyarrow", batch_size=None)
+
+
+def sessionize(
+    ds,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    gap,
+    num_partitions: int | None = None,
+):
+    """Gap-based sessionization: within each key (ordered by ts, id) a new
+    session starts when the time since the previous event exceeds ``gap``
+    (a ``datetime.timedelta``). Returns (id, key, ts, session_id) with
+    ``session_id = "<key>:<1-based session index>"`` — equivalent to the
+    SQL lag-gap-flag + running-sum window idiom.
+
+    Scale mechanics (the ``lag_partitioned`` carry pattern, extended with
+    a session-count prefix sum): ONE global sort on (key, ts, id); each
+    block resolves sessions locally; the only cross-block state is one
+    summary row per block (first/last row + the last key's in-block
+    session-start count). The driver walks the tiny summary table in
+    order and hands each block (a) whether its first row starts a new
+    session and (b) the session-index offset for its first key — a key
+    spanning a billion rows costs one summary row per block, never a
+    whole-key pandas group.
+    """
+    import ray
+
+    sel = ds.select_columns([key_col, ts_col, id_col])
+    if num_partitions:
+        sel = sel.repartition(num_partitions)
+    s = sel.sort([key_col, ts_col, id_col]).materialize()
+
+    def _starts(df: pd.DataFrame) -> pd.Series:
+        """is-new-session per row with in-block prev; first row -> True."""
+        prev_ts = df[ts_col].shift(1)
+        same = df[key_col].eq(df[key_col].shift(1))
+        return ~same | ((df[ts_col] - prev_ts) > gap)
+
+    def block_summary(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                columns=[
+                    "first_key", "first_ts", "first_id",
+                    "last_key", "last_ts", "last_id", "n_last_key_sessions",
+                ]
+            )
+        df = df.sort_values([key_col, ts_col, id_col]).reset_index(drop=True)
+        starts = _starts(df)
+        last_key = df[key_col].iloc[-1]
+        n_last = int(starts[(df[key_col] == last_key).to_numpy()].sum())
+        return pd.DataFrame(
+            [
+                {
+                    "first_key": df[key_col].iloc[0],
+                    "first_ts": df[ts_col].iloc[0],
+                    "first_id": df[id_col].iloc[0],
+                    "last_key": last_key,
+                    "last_ts": df[ts_col].iloc[-1],
+                    "last_id": df[id_col].iloc[-1],
+                    "n_last_key_sessions": n_last,
+                }
+            ]
+        )
+
+    summaries = (
+        s.map_batches(block_summary, batch_format="pandas", batch_size=None)
+        .to_pandas()
+        .sort_values(["first_key", "first_ts", "first_id"])
+        .reset_index(drop=True)
+    )
+
+    # sequential prefix walk over the (tiny) per-block summary table:
+    # resolution[block first row] = (first_is_new, first_key_offset)
+    resolution: dict = {}
+    prev_key = prev_ts = None
+    prev_count = 0  # sessions of prev_key seen up to the previous block
+    for _, row in summaries.iterrows():
+        bkey = (row["first_key"], row["first_ts"].to_pydatetime(), row["first_id"])
+        if prev_key is not None and row["first_key"] == prev_key:
+            first_is_new = (row["first_ts"] - prev_ts) > gap
+            offset = prev_count
+        else:
+            first_is_new = True
+            offset = 0
+        resolution[bkey] = (bool(first_is_new), int(offset))
+        n_last = int(row["n_last_key_sessions"])
+        if row["last_key"] == row["first_key"]:
+            # block_summary counted the first row as a start; subtract if
+            # the driver resolved it as a continuation
+            prev_count = offset + n_last - (0 if first_is_new else 1)
+        else:
+            prev_count = n_last
+        prev_key, prev_ts = row["last_key"], row["last_ts"]
+    res_ref = ray.put(resolution)
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(columns=[id_col, key_col, ts_col, "session_id"])
+        res = ray.get(res_ref)
+        df = df.sort_values([key_col, ts_col, id_col]).reset_index(drop=True)
+        bkey = (df[key_col].iloc[0], df[ts_col].iloc[0].to_pydatetime(), df[id_col].iloc[0])
+        first_is_new, offset = res[bkey]
+        starts = _starts(df).to_numpy(copy=True)
+        starts[0] = first_is_new
+        idx = (
+            pd.Series(starts.astype("int64"))
+            .groupby(df[key_col].to_numpy(), sort=False)
+            .cumsum()
+            .to_numpy()
+        )
+        idx[(df[key_col] == df[key_col].iloc[0]).to_numpy()] += offset
+        out = df[[id_col, key_col, ts_col]].copy()
+        out["session_id"] = df[key_col].astype(str) + ":" + pd.Series(idx).astype(str)
+        return out
+
+    return s.map_batches(fill, batch_format="pandas", batch_size=None)

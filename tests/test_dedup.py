@@ -192,3 +192,77 @@ def test_planted_fixture_modes():
     ).to_pandas()
     found2 = set(zip(pairs2.left_id, pairs2.right_id))
     assert found2 == {(i, i + PLANTED_ID_OFFSET) for i in range(20)}
+
+
+def _brute_token_jaccard_pairs(texts: dict, threshold: float):
+    toks = {i: frozenset(t.lower().split()) for i, t in texts.items()}
+    out = []
+    ids = sorted(toks)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            ta, tb = toks[a], toks[b]
+            if not ta or not tb:
+                continue
+            j = len(ta & tb) / len(ta | tb)
+            if j >= threshold:
+                out.append((a, b, j))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("threshold", [0.5, 0.9])
+def test_jaccard_similarity_join_exact(threshold):
+    """100%-recall contract: the prefix-filtered distributed join must
+    equal brute force exactly, values bit-identical — including the
+    float-ceil edge (0.9 * 20 == 18.000000000000004 must not shrink the
+    prefix)."""
+    rng = np.random.RandomState(11)
+    vocab = [f"w{k}" for k in range(60)]
+    texts = {}
+    for i in range(120):
+        L = rng.randint(3, 21)
+        texts[i] = " ".join(rng.choice(vocab, L, replace=False))
+    texts[120] = " ".join(f"w{k}" for k in range(20))        # exactly 20 tokens
+    texts[121] = " ".join(f"w{k}" for k in range(1, 20)) + " w0"  # same set
+    texts[122] = ""  # empty: skipped on both sides
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(texts), pa.int64()),
+                "text": pa.array([texts[i] for i in sorted(texts)], pa.string()),
+            }
+        )
+    )
+    got = D.jaccard_similarity_join(
+        ds, threshold=threshold, id_col="doc_id", text_col="text", num_partitions=4
+    ).to_pandas()
+    got_t = sorted(zip(got.left_id, got.right_id, got.jaccard))
+    assert got_t == _brute_token_jaccard_pairs(texts, threshold)
+    assert (120, 121, 1.0) in got_t
+
+
+def test_jaccard_join_broadcast_equals_shuffle():
+    rng = np.random.RandomState(5)
+    vocab = [f"t{k}" for k in range(30)]
+    texts = {}
+    for i in range(30):
+        base = list(rng.choice(vocab, rng.randint(6, 12), replace=False))
+        texts[2 * i] = " ".join(base)
+        # planted near-dup: drop one token -> high-Jaccard partner
+        texts[2 * i + 1] = " ".join(base[:-1])
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(texts), pa.int64()),
+                "text": pa.array([texts[i] for i in sorted(texts)], pa.string()),
+            }
+        )
+    )
+    res = {}
+    for strat in ("broadcast", "shuffle"):
+        df = D.jaccard_similarity_join(
+            ds, threshold=0.6, id_col="doc_id", text_col="text",
+            num_partitions=3, attach_strategy=strat,
+        ).to_pandas()
+        res[strat] = sorted(zip(df.left_id, df.right_id, df.jaccard))
+    assert res["broadcast"] == res["shuffle"] == _brute_token_jaccard_pairs(texts, 0.6)

@@ -166,3 +166,67 @@ def test_asof_join_matches_bruteforce(events, parts):
     exp = np.asarray(expected)
     assert len(got) == len(exp)
     assert np.allclose(got, exp, equal_nan=True)
+
+
+def _brute_sessions(df: pd.DataFrame, gap) -> pd.DataFrame:
+    df = df.sort_values(["key", "ts", "event_id"]).reset_index(drop=True)
+    prev_ts = df.groupby("key")["ts"].shift(1)
+    is_new = prev_ts.isna() | ((df["ts"] - prev_ts) > gap)
+    idx = is_new.astype("int64").groupby(df["key"]).cumsum()
+    out = df[["event_id", "key", "ts"]].copy()
+    out["session_id"] = df["key"].astype(str) + ":" + idx.astype(str)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("parts", [1, 2, 7])
+def test_sessionize_matches_bruteforce(parts):
+    from datetime import timedelta
+
+    from entity_matching_datasets_ray.stages.windows import sessionize
+
+    rng = np.random.RandomState(21)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "key": rng.choice(["u1", "u2", "u3", "u4"], n),
+            "ts": pd.Timestamp("2024-05-01")
+            + pd.to_timedelta(np.sort(rng.choice(3 * 24 * 3600, n, replace=False)), unit="s"),
+        }
+    )
+    gap = timedelta(minutes=45)
+    out = (
+        sessionize(rd.from_pandas(df), "key", "ts", "event_id", gap, num_partitions=parts)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, _brute_sessions(df, gap))
+
+
+def test_sessionize_key_spans_many_partitions():
+    """One key across 16 partitions: the per-block carry + prefix-sum
+    offset chain must thread session indices through every boundary,
+    including blocks whose first row continues the previous session."""
+    from datetime import timedelta
+
+    from entity_matching_datasets_ray.stages.windows import sessionize
+
+    n = 1000
+    # alternate 10-minute continuation steps with occasional 2h jumps
+    steps = np.where(np.arange(n) % 97 == 0, 7200, 600)
+    ts = pd.Timestamp("2024-06-01") + pd.to_timedelta(np.cumsum(steps), unit="s")
+    df = pd.DataFrame(
+        {"event_id": np.arange(n, dtype=np.int64), "key": "solo", "ts": ts}
+    )
+    gap = timedelta(hours=1)
+    out = (
+        sessionize(rd.from_pandas(df), "key", "ts", "event_id", gap, num_partitions=16)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    exp = _brute_sessions(df, gap)
+    pd.testing.assert_frame_equal(out, exp)
+    # sanity: multiple sessions actually exist and the count matches
+    assert out["session_id"].nunique() == exp["session_id"].nunique() > 5
