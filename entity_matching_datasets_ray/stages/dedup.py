@@ -708,8 +708,9 @@ class _TokenJaccardVerify(_JaccardVerify):
         return s
 
 
-def _common_token_dfs(ds, id_col, text_col, common_vocab: int) -> dict:
-    """Document frequency of the ``common_vocab`` most frequent tokens.
+def _common_token_dfs(ds, id_col, text_col, common_vocab: int) -> tuple[dict, int]:
+    """Document frequency of the ``common_vocab`` most frequent tokens,
+    plus the TOTAL distinct-token count (sizes the bitset-verify gate).
 
     Partial per-batch counts -> groupby(token).sum -> top-K: the shuffle
     moves one row per distinct token per batch; only the K-row head ever
@@ -730,16 +731,46 @@ def _common_token_dfs(ds, id_col, text_col, common_vocab: int) -> dict:
             }
         )
 
-    dfs = (
+    agg = (
         ds.select_columns([text_col])
         .map_batches(partial, batch_format="pyarrow")
         .groupby("token")
         .aggregate(Sum("df", alias_name="df"))
-        .sort("df", descending=True)
-        .limit(common_vocab)
-        .to_pandas()
+        .materialize()
     )
-    return dict(zip(dfs["token"], dfs["df"]))
+    vocab_total = agg.count()
+    dfs = agg.sort("df", descending=True).limit(common_vocab).to_pandas()
+    return dict(zip(dfs["token"], dfs["df"])), vocab_total
+
+
+def _token_bitsets(tdf: pd.DataFrame, id_col: str, text_col: str, vocab_total: int):
+    """Corpus token sets as a dense bitset matrix (row per doc, 64 tokens
+    per uint64 word) — the vectorized-verify representation: exact Jaccard
+    for m pairs is two gathers + popcount(AND) over ``m x words`` uint64,
+    no per-pair Python sets. Built fully vectorized (explode + factorize +
+    bincount + bitwise_or.at); only used when n_docs x words x 8 fits the
+    broadcast byte budget (caller gates)."""
+    tdf = tdf.reset_index(drop=True)
+    n = len(tdf)
+    toks = tdf[text_col].fillna("").astype(str).str.lower().str.split()
+    ex = toks.explode().dropna()
+    ex = ex[ex != ""]
+    codes, uniques = pd.factorize(ex)
+    vocab = len(uniques)
+    doc_idx = ex.index.to_numpy(dtype=np.int64)
+    # distinct (doc, token): docs repeat tokens; the bitset needs each once
+    key = doc_idx * max(vocab, 1) + codes
+    uk = np.unique(key)
+    d = uk // max(vocab, 1)
+    c = uk % max(vocab, 1)
+    ntok = np.bincount(d, minlength=n).astype(np.int64)
+    words = max(1, (vocab + 63) // 64)
+    bits = np.zeros((n, words), np.uint64)
+    np.bitwise_or.at(
+        bits, (d, (c >> 6)), np.uint64(1) << (c & 63).astype(np.uint64)
+    )
+    idx_map = {i: p for p, i in enumerate(tdf[id_col])}
+    return idx_map, bits, ntok
 
 
 def jaccard_similarity_join(
@@ -768,17 +799,28 @@ def jaccard_similarity_join(
     order used is rarest-first: the rare tail (outside the broadcast
     top-``common_vocab`` DF map) sorts first by token hash, the common
     head last by descending frequency rank, which keeps prefix blocks
-    small and stopword blocks out of prefixes. Candidates are bucketed,
-    capped + metered (``overflow``), deduped (``dedup_pairs``), then
-    verified with exact Jaccard via the adaptive broadcast/shuffle text
-    attach shared with MinHash."""
+    small and stopword blocks out of prefixes.
+
+    Two verify plans (both exact):
+    - broadcast + FUSED bitset verify (small corpus, bitset matrix within
+      the byte budget): pair emission AND popcount-Jaccard verification
+      happen vectorized inside the one band groupby — a candidate never
+      reaches a second shuffle unverified, and no per-pair Python set ops
+      run anywhere. This is the plan that survives adversarial low-vocab
+      corpora where the prefix filter cannot prune (everything is a
+      candidate and the join is inherently ~all-pairs).
+    - shuffle attach + per-pair set verify (the at-scale plan): candidates
+      are bucketed, capped + metered (``overflow``), deduped
+      (``dedup_pairs``), texts attach via partitioned hash joins, the
+      actor-pool ``_TokenJaccardVerify`` memoizes token sets per actor."""
     import math as _math
 
     import ray
 
     from .blocking import dedup_pairs
 
-    dfs_ref = ray.put(_common_token_dfs(ds, id_col, text_col, common_vocab))
+    dfs, vocab_total = _common_token_dfs(ds, id_col, text_col, common_vocab)
+    dfs_ref = ray.put(dfs)
 
     def prefix_rows(t: pa.Table) -> pa.Table:
         dfs: dict = ray.get(dfs_ref)
@@ -822,72 +864,252 @@ def jaccard_similarity_join(
             "bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int32), pa.int32())
         )
 
+    def _emit_pairs_vec(g: pd.DataFrame):
+        """Vectorized length-filtered pair emission for one band group
+        (jac >= t forces t*|A| <= |B| <= |A|/t; docs pre-sorted by n_tok
+        so each i's partners are a contiguous searchsorted range).
+        UNCAPPED by default — an exact join must not drop candidates;
+        ``max_pairs_per_block`` is the opt-in scale valve (metered).
+        Returns (left positions, right positions, overflow)."""
+        ns = g["n_tok"].to_numpy(dtype=np.float64)
+        k = len(ns)
+        if k < 2:
+            return None, None, 0
+        hi_j = np.searchsorted(ns, ns / threshold + 1e-9, side="right")
+        cnt = np.clip(hi_j - np.arange(1, k + 1), 0, None)
+        total = int(cnt.sum())
+        overflow = 0
+        if max_pairs_per_block is not None and total > max_pairs_per_block:
+            # truncate in emission order (ascending i, then j)
+            cum = np.cumsum(cnt)
+            overflow = total - max_pairs_per_block
+            stop = int(np.searchsorted(cum, max_pairs_per_block, side="left"))
+            prev = int(cum[stop - 1]) if stop > 0 else 0
+            cnt = cnt.copy()
+            cnt[stop + 1:] = 0
+            cnt[stop] = max_pairs_per_block - prev
+            total = max_pairs_per_block
+        if total == 0:
+            return None, None, overflow
+        li = np.repeat(np.arange(k), cnt)
+        offs = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        ri = np.arange(total) - np.repeat(offs, cnt) + li + 1
+        return li, ri, overflow
+
+    def _ordered(ids, li, ri):
+        """(min, max) of each pair — the group is sorted by (n_tok, id),
+        not id, so a larger-set partner can still have the smaller id."""
+        a, b = ids[li], ids[ri]
+        swap = b < a
+        return np.where(swap, b, a), np.where(swap, a, b)
+
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        """Pairs within each prefix-token group, LENGTH-filtered (jac >= t
-        forces t*|A| <= |B| <= |A|/t) and UNCAPPED by default — an exact
-        join must not drop candidates. ``max_pairs_per_block`` is the
-        opt-in scale valve (metered in ``overflow``); leaving it None is
-        the exactness contract the SQL oracle checks."""
-        left, right = [], []
+        """Shuffle-plan candidate emission: pairs within each prefix-token
+        group, length-filtered, vectorized (np.repeat, no Python pair
+        loop). Leaving ``max_pairs_per_block=None`` is the exactness
+        contract the SQL oracle checks."""
+        lefts, rights = [], []
         overflow = 0
         for _, g in df.groupby("band", sort=False):
             g = g.drop_duplicates("doc_id").sort_values(["n_tok", "doc_id"])
-            ids = g["doc_id"].to_numpy()
-            ns = g["n_tok"].to_numpy(dtype=np.float64)
-            k = len(ids)
-            emitted = 0
-            for i in range(k - 1):
-                # docs sorted by size: partners beyond n_i/t can't match
-                hi_n = ns[i] / threshold + 1e-9
-                j = i + 1
-                while j < k and ns[j] <= hi_n:
-                    if max_pairs_per_block is not None and emitted >= max_pairs_per_block:
-                        overflow += 1
-                    else:
-                        a, b = ids[i], ids[j]
-                        if b < a:
-                            a, b = b, a
-                        left.append(a)
-                        right.append(b)
-                        emitted += 1
-                    j += 1
-        out = pd.DataFrame({"left_id": left, "right_id": right}).drop_duplicates()
+            li, ri, ov = _emit_pairs_vec(g)
+            overflow += ov
+            if li is None:
+                continue
+            a, b = _ordered(g["doc_id"].to_numpy(), li, ri)
+            lefts.append(a)
+            rights.append(b)
+        if lefts:
+            out = pd.DataFrame(
+                {"left_id": np.concatenate(lefts), "right_id": np.concatenate(rights)}
+            ).drop_duplicates()
+        else:
+            empty = df["doc_id"].iloc[0:0]
+            out = pd.DataFrame({"left_id": empty, "right_id": empty})
         out["src"] = "pfx"
         out["overflow"] = np.int64(overflow)
         return out
 
     hi = concurrency[1] if isinstance(concurrency, tuple) else int(concurrency or 8)
     src = ds.select_columns([id_col, text_col]).repartition(max(2 * hi, num_partitions or 0))
-    cands = (
-        src.map_batches(prefix_rows, batch_format="pyarrow", batch_size=2048)
-        .map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("bucket", num_partitions=num_partitions)
-        .map_groups(per_bucket, batch_format="pandas")
-    )
-    # a pair can share several prefix tokens -> exact dedup before verify
-    cands = dedup_pairs(cands, num_buckets=num_buckets, num_partitions=num_partitions)
+    bands = src.map_batches(prefix_rows, batch_format="pyarrow", batch_size=2048)
 
     if attach_strategy == "auto":
         if n_docs is None:
             n_docs = ds.count()
+        bitset_bytes = n_docs * max(1, (vocab_total + 63) // 64) * 8
         attach_strategy = (
             "broadcast"
             if n_docs <= BROADCAST_MAX_DOCS
             and _est_text_bytes(ds, id_col, text_col, n_docs) <= BROADCAST_MAX_BYTES
+            and bitset_bytes <= BROADCAST_MAX_BYTES
             else "shuffle"
         )
 
     if attach_strategy == "broadcast":
         tdf = ds.select_columns([id_col, text_col]).to_pandas()
-        texts_ref = ray.put(dict(zip(tdf[id_col], tdf[text_col])))
+        idx_map, bits, ntok = _token_bitsets(tdf, id_col, text_col, vocab_total)
 
-        def verify_task(batch: pd.DataFrame) -> pd.DataFrame:
-            return _TokenJaccardVerify(threshold, 0, texts_ref)(batch)
+        # -- pair-count-balanced fan-out ------------------------------------
+        # Group-level parallelism is bounded by the number of distinct
+        # prefix tokens, and a hot band (low-vocab corpus) is a quadratic
+        # single task. The broadcast plan already holds the corpus on the
+        # driver, so the driver also takes the (small) prefix-row table,
+        # slices every band's emission triangle into ~TARGET_PAIRS work
+        # items, and fans them out — load balance is by PAIR COUNT, not by
+        # band, so one hot band spreads across the whole pool.
+        TARGET_PAIRS = 1_000_000
+        bdf = bands.to_pandas()
+        bdf = bdf.drop_duplicates(["band", "doc_id"]).sort_values(
+            ["band", "n_tok", "doc_id"], ignore_index=True
+        )
+        bdf["pos"] = bdf["doc_id"].map(idx_map).to_numpy(dtype=np.int64)
+        band_vals = bdf["band"].to_numpy()
+        starts = np.concatenate(
+            ([0], np.flatnonzero(band_vals[1:] != band_vals[:-1]) + 1, [len(bdf)])
+        )
+        flat_ns = bdf["n_tok"].to_numpy(dtype=np.float64)
+        flat_pos = bdf["pos"].to_numpy()
+        flat_ids = bdf["doc_id"].to_numpy()
+        items = []  # (band_ord, i_lo, i_hi) in LOCAL group coordinates
+        for bo in range(len(starts) - 1):
+            s, e = int(starts[bo]), int(starts[bo + 1])
+            k = e - s
+            if k < 2:
+                continue
+            ns = flat_ns[s:e]
+            hi_j = np.searchsorted(ns, ns / threshold + 1e-9, side="right")
+            cnt = np.clip(hi_j - np.arange(1, k + 1), 0, None)
+            if max_pairs_per_block is not None:
+                # cap in emission order: stop the band at the cap boundary
+                cum = np.cumsum(cnt)
+                if cum[-1] > max_pairs_per_block:
+                    stop = int(np.searchsorted(cum, max_pairs_per_block, side="left"))
+                    prev = int(cum[stop - 1]) if stop > 0 else 0
+                    cnt = cnt.copy()
+                    cnt[stop + 1:] = 0
+                    cnt[stop] = max_pairs_per_block - prev
+            cum = np.cumsum(cnt)
+            if cum[-1] == 0:
+                continue
+            # chunk boundaries at ~TARGET_PAIRS emitted pairs
+            cuts = np.searchsorted(
+                cum, np.arange(TARGET_PAIRS, int(cum[-1]), TARGET_PAIRS), side="left"
+            )
+            bounds = np.unique(np.concatenate(([0], cuts + 1, [k])))
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                if a < b:
+                    items.append({"band_ord": bo, "i_lo": int(a), "i_hi": int(b)})
 
-        return cands.select_columns(["left_id", "right_id"]).map_batches(
-            verify_task, batch_format="pandas", batch_size=2048
+        blob_ref = ray.put((starts, flat_pos, flat_ns, flat_ids, bits, ntok))
+
+        def fused_verify(t: pa.Table) -> pd.DataFrame:
+            """Fused emit+verify for a batch of work items: exact Jaccard
+            for the whole emission vector via bitset gather +
+            popcount(AND) — candidates die in the task that created them,
+            nothing unverified is ever shuffled."""
+            starts_, fpos, fns, fids, bits_, ntok_ = ray.get(blob_ref)
+            lefts, rights, sims = [], [], []
+            for bo, ilo, ihi in zip(
+                t.column("band_ord").to_pylist(),
+                t.column("i_lo").to_pylist(),
+                t.column("i_hi").to_pylist(),
+            ):
+                s, e = int(starts_[bo]), int(starts_[bo + 1])
+                ns = fns[s:e]
+                k = e - s
+                hi_j = np.searchsorted(ns, ns / threshold + 1e-9, side="right")
+                cnt = np.clip(hi_j - np.arange(1, k + 1), 0, None)
+                if max_pairs_per_block is not None:
+                    cum0 = np.cumsum(cnt)
+                    if cum0[-1] > max_pairs_per_block:
+                        stop = int(np.searchsorted(cum0, max_pairs_per_block, side="left"))
+                        prev = int(cum0[stop - 1]) if stop > 0 else 0
+                        cnt = cnt.copy()
+                        cnt[stop + 1:] = 0
+                        cnt[stop] = max_pairs_per_block - prev
+                cnt = cnt[ilo:ihi]
+                total = int(cnt.sum())
+                if total == 0:
+                    continue
+                li = np.repeat(np.arange(ilo, ihi), cnt)
+                offs = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+                ri = np.arange(total) - np.repeat(offs, cnt) + li + 1
+                pos = fpos[s:e]
+                inter = (
+                    _popcount64(bits_[pos[li]] & bits_[pos[ri]]).sum(axis=1).astype(np.int64)
+                )
+                union = ntok_[pos[li]] + ntok_[pos[ri]] - inter
+                # two small ints divided -> bit-identical to the SQL oracle
+                jac = inter / union
+                m = jac >= threshold
+                if not m.any():
+                    continue
+                ids = fids[s:e]
+                a, b = _ordered(ids, li[m], ri[m])
+                lefts.append(a)
+                rights.append(b)
+                sims.append(jac[m])
+            if not lefts:
+                return pd.DataFrame(
+                    {
+                        "left_id": pd.Series(fids[0:0]),
+                        "right_id": pd.Series(fids[0:0]),
+                        "jaccard": pd.Series([], dtype="float64"),
+                    }
+                )
+            # within-task dedup; cross-band duplicates (identical jaccard)
+            # fall to the bucketed drop_duplicates below
+            return pd.DataFrame(
+                {
+                    "left_id": np.concatenate(lefts),
+                    "right_id": np.concatenate(rights),
+                    "jaccard": np.concatenate(sims),
+                }
+            ).drop_duplicates(["left_id", "right_id"])
+
+        import ray.data as _rd
+
+        if not items:
+            return _rd.from_pandas(
+                pd.DataFrame(
+                    {
+                        "left_id": pd.Series(flat_ids[0:0]),
+                        "right_id": pd.Series(flat_ids[0:0]),
+                        "jaccard": pd.Series([], dtype="float64"),
+                    }
+                )
+            )
+        items_ds = _rd.from_pandas(pd.DataFrame(items)).repartition(len(items))
+        verified = items_ds.map_batches(
+            fused_verify, batch_format="pyarrow", batch_size=1
         )
 
+        def add_pair_bucket(t: pa.Table) -> pa.Table:
+            df = t.select(["left_id", "right_id"]).to_pandas()
+            h = pd.util.hash_pandas_object(df, index=False).to_numpy(dtype=np.uint64)
+            return t.append_column(
+                "pbucket", pa.array((h % np.uint64(num_buckets)).astype(np.int32), pa.int32())
+            )
+
+        def drop_dup(df: pd.DataFrame) -> pd.DataFrame:
+            return df.drop_duplicates(["left_id", "right_id"])[
+                ["left_id", "right_id", "jaccard"]
+            ]
+
+        return (
+            verified.map_batches(add_pair_bucket, batch_format="pyarrow")
+            .groupby("pbucket", num_partitions=num_partitions)
+            .map_groups(drop_dup, batch_format="pandas")
+        )
+
+    cands = (
+        bands.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket", num_partitions=num_partitions)
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    # a pair can share several prefix tokens -> exact dedup before verify
+    cands = dedup_pairs(cands, num_buckets=num_buckets, num_partitions=num_partitions)
     withtext = _attach_texts(
         cands.select_columns(["left_id", "right_id"]), ds, id_col, text_col,
         num_partitions or 16,
