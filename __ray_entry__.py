@@ -557,6 +557,98 @@ def _sessionize_events(sf_dir: str):
     ).sort("event_id")
 
 
+def _interval_join_events(sf_dir: str):
+    """Distributed range/interval join (time-bin bucketing: events hash to
+    one bin, intervals replicate to every overlapped bin, one co-locating
+    shuffle, searchsorted matching inside each bin). Intervals derive
+    formulaically from the events table (every 50th event opens a 2-hour
+    window), so the whole operator is checkable against DuckDB's native
+    range join. emit="counts" never materializes the pair set — partial
+    per-bin counts sum in a tiny groupby."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.stages.windows import interval_join
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+
+    def to_intervals(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").combine_chunks().to_numpy(zero_copy_only=False)
+        ts = t.column("ts").combine_chunks().cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        m = ids % 50 == 0
+        return pa.table(
+            {
+                "interval_id": pa.array(ids[m], pa.int64()),
+                "start": pa.array(ts[m], pa.timestamp("us")),
+                "end": pa.array(ts[m] + np.int64(2 * 3600 * 1_000_000), pa.timestamp("us")),
+            }
+        )
+
+    intervals = events.map_batches(to_intervals, batch_format="pyarrow")
+    return interval_join(
+        events,
+        intervals,
+        bin_width="2h",
+        emit="counts",
+        num_partitions=16,
+    ).sort("interval_id")
+
+
+def _leakage_safe_split(sf_dir: str):
+    """Leakage-safe train/valid/test assignment over the planted linkage
+    clusters: the split is a pure function of the cluster key (zero
+    shuffle), so near-duplicates NEVER straddle splits. The cluster
+    assignment is SQL-derivable (planted fixture) and the integer-key
+    hash is the documented HUGEINT expression, so the END-TO-END
+    composition (blocking -> scoring -> CC -> split) is value-checked."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from entity_matching_datasets_ray.stages.splits import assign_splits
+
+    clusters = _linkage_clusters(sf_dir)
+
+    def add_key(t: pa.Table) -> pa.Table:
+        # entity_id = 'p:<8-digit id>:0' -> the numeric cluster key
+        key = pc.cast(pc.utf8_slice_codeunits(t.column("entity_id"), 2, 10), pa.int64())
+        return t.append_column("split_key", key)
+
+    keyed = clusters.map_batches(add_key, batch_format="pyarrow")
+    out = assign_splits(keyed, "split_key", {"train": 0.8, "valid": 0.1, "test": 0.1})
+    return out.select_columns(["doc_id", "entity_id", "split"]).sort("doc_id")
+
+
+def _media_dedup_pairs(sf_dir: str):
+    """Exact media dedup over the multimodal pipeline (span flatten ->
+    actor-pool featurize with the stubbed decoder -> feature-fingerprint
+    groupby -> star pairs): doc i's media span reuses group (i % 25)'s
+    ref, so the expected pair set is SQL-derivable from the id column
+    (planted-fixture pattern) — each group's min doc pairs with every
+    other member."""
+    from entity_matching_datasets_ray.pipelines.flagship import docs_with_planted_media
+    from entity_matching_datasets_ray.stages.multimodal import media_dedup_pairs
+
+    docs = docs_with_planted_media(sf_dir, group=25)
+    return media_dedup_pairs(docs, num_partitions=8).sort(["left_id", "right_id"])
+
+
+def _stratified_sample_documents(sf_dir: str):
+    """Training-data mixture primitive: per-language deterministic
+    sampling (keep 50% of en, 25% of de, 10% of everything else), keyed
+    on doc_id — zero shuffle, reproducible, SQL-reproducible hash."""
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.stages.splits import stratified_sample
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return stratified_sample(
+        ds, "doc_id", "lang", {"en": 0.5, "de": 0.25}, default_fraction=0.1
+    ).sort("doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from entity_matching_datasets_ray.pipelines import relational as R
 
@@ -572,6 +664,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": R.q_events_asof,
         "sessionize_events": _sessionize_events,
         "jaccard_join_documents": _jaccard_join_documents,
+        "interval_join_events": _interval_join_events,
+        "leakage_safe_split": _leakage_safe_split,
+        "media_dedup_pairs": _media_dedup_pairs,
+        "stratified_sample_documents": _stratified_sample_documents,
         "part_type_stats": R.q_part_type_stats,
         "distinct_langs": R.q_distinct_langs,
         "customer_order_stats": R.q_customer_order_stats,
@@ -703,6 +799,59 @@ def oracle_sql() -> dict[str, str]:
                                          ROWS UNBOUNDED PRECEDING)
                    AS VARCHAR) AS session_id
             FROM e ORDER BY event_id
+        """,
+        # range join vs DuckDB's native inequality join; intervals are
+        # formulaic (every 50th event opens a 2h window)
+        "interval_join_events": """
+            WITH i AS (
+                SELECT event_id AS interval_id, ts AS s, ts + INTERVAL 2 HOUR AS e
+                FROM events WHERE event_id % 50 = 0
+            )
+            SELECT i.interval_id, count(*) AS n_events
+            FROM i JOIN events ev ON ev.ts >= i.s AND ev.ts < i.e
+            GROUP BY i.interval_id
+            ORDER BY i.interval_id
+        """,
+        # cluster-constant split: the planted cluster key is the doc id,
+        # the hash is the documented multiplicative HUGEINT expression
+        "leakage_safe_split": """
+            WITH c AS (
+                SELECT 'p:' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || ':' || cc AS doc_id,
+                       'p:' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || ':0' AS entity_id,
+                       ((CAST(doc_id AS HUGEINT) * 11400714819323198485)
+                         % 18446744073709551616) % 1000000 AS h
+                FROM documents CROSS JOIN (VALUES (0), (1)) t(cc)
+            )
+            SELECT doc_id, entity_id,
+                   CASE WHEN h < 800000 THEN 'train'
+                        WHEN h < 900000 THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM c ORDER BY doc_id
+        """,
+        # planted media duplicates: doc i carries group (i % 25)'s media
+        # object; exact media dedup = min member paired with every other
+        "media_dedup_pairs": """
+            WITH g AS (SELECT doc_id, doc_id % 25 AS grp FROM documents),
+                 m AS (SELECT grp, min(doc_id) AS rep FROM g GROUP BY grp)
+            SELECT 'doc:' || lpad(CAST(m.rep AS VARCHAR), 10, '0') AS left_id,
+                   'doc:' || lpad(CAST(g.doc_id AS VARCHAR), 10, '0') AS right_id
+            FROM g JOIN m USING (grp) WHERE g.doc_id <> m.rep
+            ORDER BY left_id, right_id
+        """,
+        # per-stratum deterministic sampling: same multiplicative hash,
+        # per-language cutoffs
+        "stratified_sample_documents": """
+            SELECT doc_id, lang
+            FROM (
+                SELECT doc_id, lang,
+                       ((CAST(doc_id AS HUGEINT) * 11400714819323198485)
+                         % 18446744073709551616) % 1000000 AS h
+                FROM documents
+            )
+            WHERE h < CASE lang WHEN 'en' THEN 500000
+                                WHEN 'de' THEN 250000
+                                ELSE 100000 END
+            ORDER BY doc_id
         """,
         # exact prefix-filter similarity join vs brute-force cross join
         # over distinct lowercase whitespace tokens; jaccard doubles are

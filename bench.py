@@ -210,6 +210,16 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     ).count()
     queries["sessionize_events"] = round(time.time() - t0, 2)
 
+    t0 = time.time()
+    import __ray_entry__ as _E
+
+    _E._interval_join_events(sf_dir).count()
+    queries["interval_join"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    _E._media_dedup_pairs(sf_dir).count()
+    queries["media_dedup"] = round(time.time() - t0, 2)
+
     result = {
         "metric": "linkage_synth_sec",
         "value": round(linkage_sec, 2),

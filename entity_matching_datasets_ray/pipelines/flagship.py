@@ -62,3 +62,32 @@ def synthetic_linkage(n_entities: int = 200, num_partitions: int = 8):
     gold = rd.from_arrow(truth_pairs(n_entities))
     clusters = run_linkage(docs, LinkageConfig(num_partitions=num_partitions))
     return clusters, gold
+
+
+def docs_with_planted_media(sf_dir: str, group: int = 250):
+    """documents.parquet -> spans-table docs where the media span of doc i
+    reuses the ref of group ``i % group`` — a planted media-duplicate
+    corpus whose dedup answer is SQL-derivable from the id column alone
+    (the planted-fixture pattern): every doc in a group carries the SAME
+    media object, so exact media dedup must pair each group's min doc
+    with every other member."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def to_spans(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        rows = []
+        for i, txt in zip(ids, texts):
+            spans = [
+                {"kind": "text", "text": f"name={txt}", "media_ref": "", "offset": 0},
+                {
+                    "kind": "image",
+                    "text": "",
+                    "media_ref": f"synthetic://img/{int(i) % group}",
+                    "offset": 1,
+                },
+            ]
+            rows.append({"doc_id": f"doc:{int(i):010d}", "dataset": "planted_media", "spans": spans})
+        return pa.Table.from_pylist(rows, schema=DOCS_SCHEMA)
+
+    return ds.map_batches(to_spans, batch_format="pyarrow")

@@ -117,3 +117,58 @@ def featurize_media(docs, concurrency=(1, 4), batch_size: int = 1024):
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def media_dedup_pairs(docs, num_partitions: int | None = 16, concurrency=(1, 4)):
+    """Exact media-level dedup pairs over the decoded feature space:
+    (canonical_doc, duplicate_doc) for every media span whose feature
+    vector is identical to another's — the multimodal composition pipeline
+    (span flatten -> actor-pool featurize -> fingerprint groupby -> star
+    pairs), decode stubbed as everywhere else (``decoder="fake"``).
+
+    Scale shape: ONE groupby shuffle keyed on a 64-bit siphash of the
+    feature vector (rows carry doc_id + the 8-float feature, nothing
+    else); inside a group the canonical member is the lexicographic min
+    doc and emission is the star pattern (O(k) per group, the CC-safe
+    form). Hash collisions cannot produce false pairs: each group
+    re-checks exact feature equality against the canonical member before
+    emitting (the fingerprint only routes, the FEATURE decides).
+    """
+    import pandas as pd
+
+    feats = featurize_media(docs, concurrency=concurrency)
+
+    def add_fp(t: pa.Table) -> pa.Table:
+        arr = np.asarray(t.column("media_feature").combine_chunks().flatten().to_numpy(
+            zero_copy_only=False
+        )).reshape(t.num_rows, MEDIA_FEATURE_DIM)
+        fp = pd.util.hash_pandas_object(
+            pd.DataFrame(arr), index=False
+        ).to_numpy(dtype=np.uint64)
+        return t.select(["doc_id", "media_feature"]).append_column(
+            "fp", pa.array(fp, pa.uint64())
+        )
+
+    def per_group(df: pd.DataFrame) -> pd.DataFrame:
+        lefts, rights = [], []
+        for _, g in df.groupby("fp", sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values("doc_id")
+            feats_arr = np.stack(g["media_feature"].to_numpy())
+            same = (feats_arr == feats_arr[0]).all(axis=1)
+            members = g["doc_id"].to_numpy()[same]
+            if len(members) < 2:
+                continue
+            lefts.extend([members[0]] * (len(members) - 1))
+            rights.extend(members[1:])
+        if not lefts:
+            empty = df["doc_id"].iloc[0:0]
+            return pd.DataFrame({"left_id": empty, "right_id": empty})
+        return pd.DataFrame({"left_id": lefts, "right_id": rights})
+
+    return (
+        feats.map_batches(add_fp, batch_format="pyarrow")
+        .groupby("fp", num_partitions=num_partitions)
+        .map_groups(per_group, batch_format="pandas")
+    )

@@ -1,0 +1,148 @@
+"""Leakage-safe dataset splitting: train/valid/test assignment that never
+separates members of the same entity/near-dup cluster.
+
+The classic training-data leak in entity matching / dedup corpora is a
+near-duplicate pair straddling train and test (the reference's corpora ship
+pre-split pair files for exactly this reason — e.g. DeepMather/*/ train.csv
+vs test.csv carry disjoint pair sets). At 100 TB the only split mechanism
+that survives is a PURE FUNCTION of the cluster key: no shuffle, no global
+state, embarrassingly parallel, and trivially stable under re-runs,
+incremental folds, and resharding — every member of a cluster hashes to the
+same split because the hash sees only the cluster key.
+
+Two keyed paths:
+- integer keys: a multiplicative Fibonacci hash on uint64 with natural
+  mod-2^64 wraparound. Deliberately SQL-reproducible (DuckDB HUGEINT:
+  ``(key * 11400714819323198485) % 18446744073709551616``), so the whole
+  operator is oracle-checkable end to end.
+- any other dtype: ``pd.util.hash_pandas_object`` (deterministic across
+  processes/workers — fixed default key), not SQL-expressible; queries over
+  string keys get the rows-only check.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# 0x9E3779B97F4A7C15 — 2^64 / golden ratio; SQL literal 11400714819323198485
+_FIB = np.uint64(0x9E3779B97F4A7C15)
+_RESOLUTION = 1_000_000
+
+
+def split_boundaries(weights: dict[str, float]) -> tuple[list[str], np.ndarray]:
+    """Cumulative integer boundaries over [0, _RESOLUTION) in dict order.
+
+    Buckets are half-open: split i covers ``[bound[i-1], bound[i])``; the
+    last boundary is forced to _RESOLUTION so rounding never drops rows.
+    """
+    names = list(weights)
+    w = np.asarray([float(weights[n]) for n in names], dtype=np.float64)
+    if (w < 0).any() or w.sum() <= 0:
+        raise ValueError(f"weights must be non-negative and sum > 0: {weights}")
+    cum = np.floor(np.cumsum(w / w.sum()) * _RESOLUTION).astype(np.int64)
+    cum[-1] = _RESOLUTION
+    return names, cum
+
+
+def _hash_int_keys(keys: np.ndarray, salt: int) -> np.ndarray:
+    """(key + salt) * FIB mod 2^64, then mod _RESOLUTION — matches the SQL
+    HUGEINT expression exactly for non-negative int64 keys."""
+    with np.errstate(over="ignore"):
+        h = (keys.astype(np.uint64) + np.uint64(salt)) * _FIB
+    return (h % np.uint64(_RESOLUTION)).astype(np.int64)
+
+
+def _hash_frac(col: pa.ChunkedArray, salt: int) -> np.ndarray:
+    """Column -> deterministic position in [0, _RESOLUTION): the
+    SQL-reproducible multiplicative hash for integer keys, pandas siphash
+    for everything else."""
+    if pa.types.is_integer(col.type):
+        keys = col.combine_chunks().to_numpy(zero_copy_only=False)
+        return _hash_int_keys(keys, salt)
+    s = pd.Series(col.to_pandas())
+    if salt:
+        s = s.astype(str) + f"|{salt}"
+    h = pd.util.hash_pandas_object(s, index=False)
+    return (h.to_numpy(dtype=np.uint64) % np.uint64(_RESOLUTION)).astype(np.int64)
+
+
+def assign_splits(
+    ds,
+    cluster_col: str,
+    weights: dict[str, float] | None = None,
+    out_col: str = "split",
+    salt: int = 0,
+):
+    """Add ``out_col`` with a deterministic split name per row, constant
+    within each ``cluster_col`` value (leakage-safe by construction).
+
+    Pure ``map_batches`` — ZERO shuffle at any scale; the groupby-free
+    design is the point (splitting 10^12 docs must not be an all-to-all).
+    Integer cluster keys use the SQL-reproducible multiplicative hash;
+    other dtypes fall back to the deterministic pandas siphash.
+    """
+    weights = weights or {"train": 0.8, "valid": 0.1, "test": 0.1}
+    names, bounds = split_boundaries(weights)
+    names_arr = np.asarray(names, dtype=object)
+
+    def add_split(t: pa.Table) -> pa.Table:
+        frac = _hash_frac(t.column(cluster_col), salt)
+        idx = np.searchsorted(bounds, frac, side="right")
+        return t.append_column(out_col, pa.array(names_arr[idx], pa.string()))
+
+    return ds.map_batches(add_split, batch_format="pyarrow")
+
+
+def deterministic_sample(
+    ds,
+    key_col: str,
+    fraction: float,
+    salt: int = 0,
+):
+    """Reproducible row sampling: keep rows whose key hashes below
+    ``fraction`` of the hash space. Zero shuffle, resharding-stable, and
+    REPEATABLE — the same (key, salt) always makes the same keep/drop
+    decision, so a resumed or re-run 100 TB job samples identically, and
+    sampling by a CLUSTER key keeps near-dup groups intact (the
+    leakage-safe property applied to subsampling). Integer keys use the
+    SQL-reproducible hash (``assign_splits``); others the pandas siphash.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1]: {fraction}")
+    cut = int(round(fraction * _RESOLUTION))
+
+    def keep(t: pa.Table) -> pa.Table:
+        frac = _hash_frac(t.column(key_col), salt)
+        return t.filter(pa.array(frac < cut))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def stratified_sample(
+    ds,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: int = 0,
+):
+    """Per-stratum deterministic sampling — the training-data MIXTURE
+    primitive: re-weight sources/languages/quality tiers by keeping a
+    different hash-space slice per stratum (e.g. ``{"en": 0.3, "de":
+    1.0}``), still zero-shuffle and key-reproducible. Strata absent from
+    ``fractions`` keep ``default_fraction`` of their rows."""
+    for k, v in fractions.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"fraction must be in [0, 1]: {k}={v}")
+    cuts = {k: int(round(v * _RESOLUTION)) for k, v in fractions.items()}
+    default_cut = int(round(default_fraction * _RESOLUTION))
+
+    def keep(t: pa.Table) -> pa.Table:
+        frac = _hash_frac(t.column(key_col), salt)
+        strata = pd.Series(t.column(strata_col).to_pandas())
+        cut = strata.map(cuts).fillna(default_cut).to_numpy(dtype=np.int64)
+        return t.filter(pa.array(frac < cut))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

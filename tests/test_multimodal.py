@@ -75,3 +75,38 @@ def test_decode_retry_and_metered_fallback():
     assert all(v == 0.0 for v in feats[1])  # fallback zero vector
     assert out.column("decode_failures").to_pylist() == [1, 1]  # metered
     assert calls["always-bad"] == 3  # retries + 1 attempts
+
+
+def test_media_dedup_pairs_planted():
+    """Exact media dedup over planted shared refs: doc i reuses ref
+    (i % 4) -> each group's min doc pairs with every other member (star
+    emission), groups of size 3 exercised."""
+    import pyarrow as pa
+
+    from entity_matching_datasets_ray.schema import DOCS_SCHEMA
+    from entity_matching_datasets_ray.stages.multimodal import media_dedup_pairs
+
+    n = 12
+    rows = []
+    for i in range(n):
+        rows.append(
+            {
+                "doc_id": f"d{i:03d}",
+                "dataset": "t",
+                "spans": [
+                    {"kind": "text", "text": f"name=x{i}", "media_ref": "", "offset": 0},
+                    {
+                        "kind": "image",
+                        "text": "",
+                        "media_ref": f"synthetic://img/{i % 4}",
+                        "offset": 1,
+                    },
+                ],
+            }
+        )
+    docs = rd.from_arrow(pa.Table.from_pylist(rows, schema=DOCS_SCHEMA))
+    got = media_dedup_pairs(docs, num_partitions=3).to_pandas()
+    expected = sorted(
+        (f"d{g:03d}", f"d{i:03d}") for g in range(4) for i in range(g + 4, n, 4)
+    )
+    assert sorted(zip(got.left_id, got.right_id)) == expected

@@ -1,0 +1,136 @@
+"""Leakage-safe splits: cluster-constant assignment, SQL-matching hash,
+proportions, determinism across partitionings."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from entity_matching_datasets_ray.stages.splits import (
+    _RESOLUTION,
+    assign_splits,
+    split_boundaries,
+)
+
+
+def _clustered_frame(n_clusters=500, rng_seed=3):
+    rng = np.random.RandomState(rng_seed)
+    sizes = rng.randint(1, 6, n_clusters)
+    cluster = np.repeat(np.arange(n_clusters, dtype=np.int64), sizes)
+    return pd.DataFrame(
+        {"doc_id": np.arange(len(cluster), dtype=np.int64), "cluster": cluster}
+    )
+
+
+@pytest.mark.parametrize("parts", [1, 4])
+def test_no_cluster_straddles_splits(parts):
+    df = _clustered_frame()
+    out = (
+        assign_splits(rd.from_pandas(df).repartition(parts), "cluster")
+        .to_pandas()
+    )
+    per_cluster = out.groupby("cluster")["split"].nunique()
+    assert (per_cluster == 1).all()
+    # and multi-member clusters actually exist in the fixture
+    assert (out.groupby("cluster").size() > 1).any()
+
+
+def test_split_matches_sql_hash_formula():
+    """Engine assignment == the documented HUGEINT SQL expression."""
+    import duckdb
+
+    df = _clustered_frame(n_clusters=2000)
+    out = (
+        assign_splits(rd.from_pandas(df), "cluster", {"train": 0.8, "valid": 0.1, "test": 0.1})
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    sql = duckdb.sql(
+        """
+        SELECT doc_id,
+               CASE WHEN h < 800000 THEN 'train'
+                    WHEN h < 900000 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id,
+                   ((CAST(cluster AS HUGEINT) * 11400714819323198485)
+                     % 18446744073709551616) % 1000000 AS h
+            FROM df
+        ) ORDER BY doc_id
+        """
+    ).df()
+    assert list(out["split"]) == list(sql["split"])
+
+
+def test_split_proportions_and_weights():
+    df = pd.DataFrame({"cluster": np.arange(200_000, dtype=np.int64)})
+    out = assign_splits(
+        rd.from_pandas(df), "cluster", {"train": 0.9, "test": 0.1}
+    ).to_pandas()
+    frac = (out["split"] == "train").mean()
+    assert abs(frac - 0.9) < 0.01
+
+
+def test_string_keys_deterministic():
+    df = pd.DataFrame({"cluster": [f"c{i % 50}" for i in range(400)]})
+    a = assign_splits(rd.from_pandas(df).repartition(1), "cluster").to_pandas()
+    b = assign_splits(rd.from_pandas(df).repartition(7), "cluster").to_pandas()
+    assert list(a["split"]) == list(b["split"])
+    assert (a.groupby("cluster")["split"].nunique() == 1).all()
+    # salt re-rolls the assignment
+    c = assign_splits(rd.from_pandas(df), "cluster", salt=1).to_pandas()
+    assert list(a["split"]) != list(c["split"])
+
+
+def test_boundaries_cover_resolution():
+    names, bounds = split_boundaries({"a": 1, "b": 1, "c": 1})
+    assert names == ["a", "b", "c"]
+    assert bounds[-1] == _RESOLUTION
+    with pytest.raises(ValueError):
+        split_boundaries({"a": -1.0})
+
+
+def test_deterministic_sample_nested_and_stable():
+    """Threshold sampling is NESTED (sample(0.2) is a subset of
+    sample(0.5)) and partitioning-independent."""
+    from entity_matching_datasets_ray.stages.splits import deterministic_sample
+
+    df = pd.DataFrame({"doc_id": np.arange(5000, dtype=np.int64)})
+    s20 = set(
+        deterministic_sample(rd.from_pandas(df).repartition(4), "doc_id", 0.2)
+        .to_pandas()["doc_id"]
+    )
+    s50 = set(
+        deterministic_sample(rd.from_pandas(df).repartition(1), "doc_id", 0.5)
+        .to_pandas()["doc_id"]
+    )
+    assert s20 <= s50
+    assert abs(len(s20) / 5000 - 0.2) < 0.02
+    assert abs(len(s50) / 5000 - 0.5) < 0.02
+    with pytest.raises(ValueError):
+        deterministic_sample(rd.from_pandas(df), "doc_id", 1.5)
+
+
+def test_stratified_sample_rates():
+    from entity_matching_datasets_ray.stages.splits import stratified_sample
+
+    n = 30000
+    rng = np.random.RandomState(8)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "lang": rng.choice(["en", "de", "fr"], n),
+        }
+    )
+    out = stratified_sample(
+        rd.from_pandas(df).repartition(3), "doc_id", "lang",
+        {"en": 0.5, "de": 0.25}, default_fraction=0.0,
+    ).to_pandas()
+    base = df.groupby("lang").size()
+    got = out.groupby("lang").size()
+    assert abs(got.get("en", 0) / base["en"] - 0.5) < 0.02
+    assert abs(got.get("de", 0) / base["de"] - 0.25) < 0.02
+    assert got.get("fr", 0) == 0  # default_fraction=0 drops unlisted strata

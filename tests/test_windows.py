@@ -230,3 +230,90 @@ def test_sessionize_key_spans_many_partitions():
     pd.testing.assert_frame_equal(out, exp)
     # sanity: multiple sessions actually exist and the count matches
     assert out["session_id"].nunique() == exp["session_id"].nunique() > 5
+
+
+def _brute_interval_pairs(ev: pd.DataFrame, iv: pd.DataFrame):
+    out = []
+    for _, r in iv.iterrows():
+        m = ev[(ev.ts >= r.start) & (ev.ts < r.end)]
+        out.extend((r.interval_id, e) for e in m.event_id)
+    return sorted(out)
+
+
+@pytest.mark.parametrize("bin_width", ["30min", "2h", "7h"])
+@pytest.mark.parametrize("parts", [2, 5])
+def test_interval_join_matches_bruteforce(bin_width, parts):
+    from entity_matching_datasets_ray.stages.windows import interval_join
+
+    rng = np.random.RandomState(9)
+    n = 600
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.Timestamp("2024-03-01")
+            + pd.to_timedelta(rng.randint(0, 5 * 24 * 3600, n), unit="s"),
+        }
+    )
+    starts = pd.Timestamp("2024-03-01") + pd.to_timedelta(
+        rng.randint(0, 5 * 24 * 3600, 40), unit="s"
+    )
+    iv = pd.DataFrame(
+        {
+            "interval_id": np.arange(40, dtype=np.int64),
+            "start": starts,
+            # mixed lengths: shorter and much longer than every bin width
+            "end": starts + pd.to_timedelta(rng.randint(60, 12 * 3600, 40), unit="s"),
+        }
+    )
+    got = interval_join(
+        rd.from_pandas(ev).repartition(parts),
+        rd.from_pandas(iv).repartition(2),
+        bin_width=bin_width,
+        emit="pairs",
+        num_partitions=parts,
+    ).to_pandas()
+    assert sorted(zip(got.interval_id, got.event_id)) == _brute_interval_pairs(ev, iv)
+
+    counts = interval_join(
+        rd.from_pandas(ev).repartition(parts),
+        rd.from_pandas(iv).repartition(2),
+        bin_width=bin_width,
+        emit="counts",
+        num_partitions=parts,
+    ).to_pandas()
+    exp = (
+        pd.Series([i for i, _ in _brute_interval_pairs(ev, iv)])
+        .value_counts()
+        .sort_index()
+    )
+    got_c = counts.sort_values("interval_id").set_index("interval_id")["n_events"]
+    assert dict(got_c) == dict(exp)
+
+
+def test_interval_join_empty_and_boundary():
+    """end is EXCLUSIVE, start inclusive; intervals with no events vanish."""
+    from entity_matching_datasets_ray.stages.windows import interval_join
+
+    ev = pd.DataFrame(
+        {
+            "event_id": np.array([1, 2], dtype=np.int64),
+            "ts": pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 01:00:00"]),
+        }
+    )
+    iv = pd.DataFrame(
+        {
+            "interval_id": np.array([10, 11, 12], dtype=np.int64),
+            "start": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 00:30:00", "2024-01-02 00:00:00"]
+            ),
+            "end": pd.to_datetime(
+                ["2024-01-01 01:00:00", "2024-01-01 02:00:00", "2024-01-03 00:00:00"]
+            ),
+        }
+    )
+    got = interval_join(
+        rd.from_pandas(ev), rd.from_pandas(iv), bin_width="1h", emit="pairs"
+    ).to_pandas()
+    # interval 10: event 1 only (event 2 at ts==end excluded);
+    # interval 11: event 2; interval 12: nothing
+    assert sorted(zip(got.interval_id, got.event_id)) == [(10, 1), (11, 2)]
