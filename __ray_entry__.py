@@ -649,6 +649,64 @@ def _stratified_sample_documents(sf_dir: str):
     ).sort("doc_id")
 
 
+def _linkage_two_table_planted(sf_dir: str):
+    """A x B record linkage (the reference's task shape) over a planted
+    correspondence: table A = planted copy 0 per id; table B = planted
+    copy 1 per id (exact-text match) plus a same-sized set of distractor
+    docs at id + PLANTED_ID_OFFSET that match nothing. The expected match
+    set is exactly {(p:id:0, p:id:1)} — SQL-derivable from the id column,
+    with zero tolerance for distractor false positives (precision) or
+    missed correspondences (recall)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.pipelines.linkage import LinkageConfig, run_linkage_two_table
+    from entity_matching_datasets_ray.synth import PLANTED_ID_OFFSET, planted_linkage_docs
+
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    off = ids.map_batches(
+        lambda t: pa.table({"doc_id": pa.compute.add(t.column("doc_id"), PLANTED_ID_OFFSET)}),
+        batch_format="pyarrow",
+    )
+    docs_a = planted_linkage_docs(ids, copies=1, first_copy=0)
+    docs_b = planted_linkage_docs(ids, copies=1, first_copy=1).union(
+        planted_linkage_docs(off, copies=1, first_copy=0)
+    )
+    matches = run_linkage_two_table(docs_a, docs_b, LinkageConfig(num_partitions=8))
+    return matches.select_columns(["a_id", "b_id"]).sort(["a_id", "b_id"])
+
+
+def _golden_customers(sf_dir: str):
+    """Record fusion (survivorship / golden records): one canonical row
+    per customer fused from their orders with the classic deterministic
+    rules — mode (most frequent, tie -> smallest), longest string, min /
+    max extrema, count-distinct consensus width, and max_by (value of the
+    most recent member, tie -> smallest). Every rule is tie-broken to a
+    pure function of the group contents, so the whole survivorship stage
+    is SQL-expressible and oracle-checked end to end."""
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.stages.fusion import fuse_records
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"],
+    )
+    fused = fuse_records(
+        orders,
+        "o_custkey",
+        [
+            ("top_priority", "mode", "o_orderpriority"),
+            ("longest_priority", "longest", "o_orderpriority"),
+            ("first_orderdate", "min", "o_orderdate"),
+            ("max_price", "max", "o_totalprice"),
+            ("latest_status", "max_by", "o_orderstatus", "o_orderdate"),
+            ("n_statuses", "count_distinct", "o_orderstatus"),
+        ],
+    )
+    return fused.sort("o_custkey")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from entity_matching_datasets_ray.pipelines import relational as R
 
@@ -676,6 +734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": R.q_customers_without_orders,
         "segment_price_quantiles": R.q_segment_price_quantiles,
         "orders_rollup": R.q_orders_rollup,
+        "golden_customers": _golden_customers,
         "exact_dedup_documents": _exact_dedup_documents,
         "fingerprint_dedup_documents": _fingerprint_dedup_documents,
         "token_counts_documents": _token_counts_documents,
@@ -685,6 +744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_planted_pairs": _simhash_planted_pairs,
         # linkage + training-data ops (rows-only)
         "linkage_clusters": _linkage_clusters,
+        "linkage_two_table_planted": _linkage_two_table_planted,
         "linkage_synth_f1": _linkage_synth_f1,
         "linkage_incremental": _linkage_incremental,
         "minhash_dedup_documents": _minhash_dedup_documents,
@@ -927,6 +987,42 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
             ORDER BY o_orderpriority, o_orderstatus
         """,
+        # survivorship rules re-derived in SQL: mode / longest / max_by via
+        # deterministically tie-broken row_number windows
+        "golden_customers": """
+            WITH base AS (
+                SELECT o_custkey,
+                       count(*) AS n_members,
+                       min(o_orderdate) AS first_orderdate,
+                       max(o_totalprice) AS max_price,
+                       CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+                FROM orders GROUP BY o_custkey
+            ), mode_pick AS (
+                SELECT o_custkey, o_orderpriority AS top_priority FROM (
+                    SELECT o_custkey, o_orderpriority, count(*) AS c
+                    FROM orders GROUP BY 1, 2
+                ) QUALIFY row_number() OVER (
+                    PARTITION BY o_custkey ORDER BY c DESC, o_orderpriority ASC) = 1
+            ), longest_pick AS (
+                SELECT o_custkey, o_orderpriority AS longest_priority
+                FROM (SELECT DISTINCT o_custkey, o_orderpriority FROM orders)
+                QUALIFY row_number() OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY length(o_orderpriority) DESC, o_orderpriority ASC) = 1
+            ), latest_pick AS (
+                SELECT o_custkey, o_orderstatus AS latest_status FROM orders
+                QUALIFY row_number() OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_orderdate DESC, o_orderstatus ASC) = 1
+            )
+            SELECT b.o_custkey, n_members, top_priority, longest_priority,
+                   first_orderdate, max_price, latest_status, n_statuses
+            FROM base b
+            JOIN mode_pick USING (o_custkey)
+            JOIN longest_pick USING (o_custkey)
+            JOIN latest_pick USING (o_custkey)
+            ORDER BY o_custkey
+        """,
         "segment_price_quantiles": """
             SELECT c_mktsegment,
                    quantile_disc(o_totalprice, 0.5) AS p50,
@@ -1018,6 +1114,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         # planted exact-duplicate linkage fixture: the full blocking ->
         # scoring -> CC -> canonical-election pipeline must produce exactly
+        # planted A x B correspondence: one match per id (see
+        # _linkage_two_table_planted); distractors contribute no rows
+        "linkage_two_table_planted": """
+            SELECT 'p:' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || ':0' AS a_id,
+                   'p:' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || ':1' AS b_id
+            FROM documents
+            ORDER BY a_id, b_id
+        """,
         # one cluster per id, canonical = copy 0 (see _linkage_clusters)
         "linkage_clusters": """
             SELECT 'p:' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || ':' || c AS doc_id,

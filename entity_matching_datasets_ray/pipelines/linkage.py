@@ -305,3 +305,151 @@ def _score_checkpointed(pairs, entities, idf: dict, n_docs: int, cfg: LinkageCon
         key_columns=["left_id"],
     )
     return scored
+
+
+def run_linkage_two_table(
+    docs_a,
+    docs_b,
+    config: LinkageConfig | None = None,
+    one_to_one: bool = False,
+    timings: dict | None = None,
+):
+    """A x B record linkage — the reference's actual task shape (match
+    table A against table B: DBLP vs ACM, Amazon vs Google, ...). The
+    reference consumes PRE-BLOCKED pair CSVs (DeepMather/*/train.csv
+    carries left_*/right_* of already-paired rows); here blocking is part
+    of the engine, so a user brings two raw tables.
+
+    Returns matched pairs ``(a_id, b_id, score)``.
+
+    Scale design: ids are namespaced ``a|`` / ``b|`` (two sources may
+    collide on raw ids), sides union into one entity table, and blocking
+    REUSES the delta-emission machinery with ``is_new = (side == B)``:
+    emitted pairs = B x B + A x B — A x A (pass the LARGE corpus as A)
+    is never emitted, and a vectorized prefix filter drops B x B before
+    scoring. Because pair emission orders ids and ``'a|' < 'b|'``, a
+    cross pair is exactly (left LIKE 'a|%', right LIKE 'b|%').
+
+    ``one_to_one=True`` keeps only MUTUAL best matches (the standard ER
+    symmetric-best heuristic): best-per-A and best-per-B tables (ties ->
+    higher score, then smaller partner id) are computed with two tiny
+    grouped reductions and intersected via a count-2 groupby — no driver
+    materialization.
+    """
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    cfg = config or LinkageConfig()
+
+    def prefix(ds, p: str):
+        def add(t: _pa.Table) -> _pa.Table:
+            ids = _pc.cast(t.column("doc_id"), _pa.string())
+            return t.set_column(
+                t.schema.get_field_index("doc_id"),
+                "doc_id",
+                _pc.binary_join_element_wise(_pa.scalar(p), ids, ""),
+            )
+
+        return ds.map_batches(add, batch_format="pyarrow")
+
+    def tag(ds, flag: int):
+        return ds.map_batches(
+            lambda t, flag=flag: t.append_column(
+                "is_new", _pa.array([flag] * t.num_rows, _pa.int8())
+            ),
+            batch_format="pyarrow",
+        )
+
+    a_e = tag(extract_stage(prefix(docs_a, "a|")).drop_columns(["spans"]), 0)
+    b_e = tag(extract_stage(prefix(docs_b, "b|")).drop_columns(["spans"]), 1)
+    entities = a_e.union(b_e).materialize()
+    n_docs = entities.count()
+    idf = fit_idf(entities, max_vocab=cfg.max_vocab)
+    idf_ref = ray.put(idf)
+
+    from ..stages.blocking import candidate_pairs as _fused_pairs
+
+    pairs = _fused_pairs(
+        entities,
+        window=cfg.window,
+        num_perm=cfg.num_perm,
+        num_bands=cfg.num_bands,
+        seed=cfg.seed,
+        num_partitions=cfg.num_partitions,
+        num_buckets=cfg.num_buckets or 8 * cfg.num_partitions,
+        exact_keys=cfg.exact_keys,
+        delta=True,
+        min_lsh_collisions=cfg.min_lsh_collisions,
+    )
+
+    def cross_only(t: _pa.Table) -> _pa.Table:
+        keep = _pc.and_(
+            _pc.starts_with(t.column("left_id"), "a|"),
+            _pc.starts_with(t.column("right_id"), "b|"),
+        )
+        return t.filter(keep)
+
+    pairs = pairs.map_batches(cross_only, batch_format="pyarrow")
+
+    scored = score_pairs(
+        pairs,
+        entities,
+        idf_ref,
+        n_docs=n_docs,
+        weights=cfg.weights,
+        num_partitions=cfg.num_partitions,
+        concurrency=cfg.scorer_concurrency,
+        batch_size=cfg.scorer_batch_size,
+        join_strategy=cfg.join_strategy,
+    )
+
+    def strip(t: _pa.Table) -> _pa.Table:
+        return _pa.table(
+            {
+                "a_id": _pc.utf8_slice_codeunits(t.column("left_id"), 2, 2**30),
+                "b_id": _pc.utf8_slice_codeunits(t.column("right_id"), 2, 2**30),
+                "score": t.column("score"),
+            }
+        )
+
+    matches = scored.filter(expr=f"score >= {cfg.threshold}").map_batches(
+        strip, batch_format="pyarrow"
+    )
+    if not one_to_one:
+        return matches
+
+    matches = matches.materialize()
+
+    def best_per(key: str):
+        import numpy as np
+        import pandas as pd
+
+        other = "b_id" if key == "a_id" else "a_id"
+
+        def bucket_of(df: pd.DataFrame) -> pd.DataFrame:
+            h = pd.util.hash_pandas_object(df[key], index=False)
+            df = df.copy()
+            df["__bucket"] = (h.to_numpy(dtype=np.uint64) % np.uint64(64)).astype(np.int32)
+            return df
+
+        def pick(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values([key, "score", other], ascending=[True, False, True],
+                                kind="mergesort")
+            return df.drop_duplicates(key)[["a_id", "b_id"]]
+
+        return (
+            matches.map_batches(bucket_of, batch_format="pandas")
+            .groupby("__bucket")
+            .map_groups(pick, batch_format="pandas")
+        )
+
+    both = best_per("a_id").union(best_per("b_id"))
+    counted = both.groupby(["a_id", "b_id"]).count()
+    cnt_col = [c for c in counted.schema().names if c not in ("a_id", "b_id")][0]
+
+    def mutual_only(t: _pa.Table) -> _pa.Table:
+        return t.filter(_pc.equal(t.column(cnt_col), _pa.scalar(2, t.column(cnt_col).type))).select(
+            ["a_id", "b_id"]
+        )
+
+    return counted.map_batches(mutual_only, batch_format="pyarrow")
