@@ -649,6 +649,19 @@ def _stratified_sample_documents(sf_dir: str):
     ).sort("doc_id")
 
 
+def _vocab_topk_documents(sf_dir: str):
+    """Distributed heavy hitters: global top-50 tokens over the documents
+    corpus (per-batch partial counts -> token groupby -> lossless local
+    top-k prune -> tiny final sort). Deterministic tie-break (count desc,
+    token asc) keeps the result SQL-checkable."""
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.stages.text_analysis import vocab_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return vocab_topk(ds, "text", k=50)
+
+
 def _linkage_two_table_planted(sf_dir: str):
     """A x B record linkage (the reference's task shape) over a planted
     correspondence: table A = planted copy 0 per id; table B = planted
@@ -735,6 +748,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_price_quantiles": R.q_segment_price_quantiles,
         "orders_rollup": R.q_orders_rollup,
         "golden_customers": _golden_customers,
+        "vocab_topk_documents": _vocab_topk_documents,
         "exact_dedup_documents": _exact_dedup_documents,
         "fingerprint_dedup_documents": _fingerprint_dedup_documents,
         "token_counts_documents": _token_counts_documents,
@@ -1114,6 +1128,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         # planted exact-duplicate linkage fixture: the full blocking ->
         # scoring -> CC -> canonical-election pipeline must produce exactly
+        # heavy hitters: identical whitespace tokenization on both sides
+        "vocab_topk_documents": """
+            SELECT tok AS token, CAST(count(*) AS BIGINT) AS cnt FROM (
+                SELECT unnest(list_filter(
+                    string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok
+                FROM documents
+            ) GROUP BY tok
+            ORDER BY cnt DESC, token ASC
+            LIMIT 50
+        """,
         # planted A x B correspondence: one match per id (see
         # _linkage_two_table_planted); distractors contribute no rows
         "linkage_two_table_planted": """

@@ -170,3 +170,48 @@ def language_histogram(ds, text_col: str = "text", num_partitions: int | None = 
         .groupby("lang_pred", num_partitions=num_partitions)
         .aggregate(Sum("n", alias_name="n"))
     )
+
+
+def vocab_topk(ds, text_col: str = "text", k: int = 50, lowercase: bool = True):
+    """Distributed heavy hitters: global top-k tokens by occurrence count.
+
+    Three stages, none of which moves the corpus:
+    1. per-batch partial counts (pandas explode + value_counts — one row
+       per DISTINCT token per batch crosses the shuffle, not one per
+       occurrence),
+    2. ``groupby(token).sum`` merges partials,
+    3. per-block local top-k prunes the merged vocab to <= k rows per
+       block (each token lives in exactly one post-groupby block, so
+       pruning is lossless), and the surviving <= k x num_blocks rows
+       take a tiny final sort + limit.
+
+    Deterministic order: count desc, token asc. Tokens are whitespace-
+    split, empty-dropped, optionally lowercased (matches the oracle's
+    ``string_split_regex(lower(text), '\\s+')``).
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[text_col].dropna().astype(str)
+        if lowercase:
+            s = s.str.lower()
+        toks = s.str.split().explode().dropna()
+        vc = toks.value_counts()
+        return pd.DataFrame({"token": vc.index.astype(str), "cnt": vc.to_numpy("int64")})
+
+    merged = (
+        ds.select_columns([text_col])
+        .map_batches(partial_counts, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["cnt", "token"], ascending=[False, True], kind="mergesort").head(k)
+
+    return (
+        merged.map_batches(local_topk, batch_format="pandas")
+        .sort(["cnt", "token"], descending=[True, False])
+        .limit(k)
+    )
