@@ -733,6 +733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_3h": R.q_events_sliding_3h,
         "events_lag": R.q_events_lag,
         "events_asof": R.q_events_asof,
+        "events_row_number": R.q_events_row_number,
         "sessionize_events": _sessionize_events,
         "jaccard_join_documents": _jaccard_join_documents,
         "interval_join_events": _interval_join_events,
@@ -846,6 +847,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, event_type, ts,
                    lag(event_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_event_id,
                    lag(value)    OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev_value
+            FROM events
+            ORDER BY event_id
+        """,
+        "events_row_number": """
+            SELECT event_id, user_id, ts,
+                   CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn
             FROM events
             ORDER BY event_id
         """,

@@ -220,6 +220,18 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     _E._media_dedup_pairs(sf_dir).count()
     queries["media_dedup"] = round(time.time() - t0, 2)
 
+    t0 = time.time()
+    _E._golden_customers(sf_dir).count()
+    queries["golden_customers"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    _E._vocab_topk_documents(sf_dir).count()
+    queries["vocab_topk"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    _E._linkage_two_table_planted(sf_dir).count()
+    queries["linkage_two_table"] = round(time.time() - t0, 2)
+
     result = {
         "metric": "linkage_synth_sec",
         "value": round(linkage_sec, 2),

@@ -472,6 +472,16 @@ def q_events_lag(sf_dir: str):
     return lag_partitioned(ds, "event_type", "ts", "event_id", "value").sort("event_id")
 
 
+def q_events_row_number(sf_dir: str):
+    """Per-user event sequence numbers: row_number() OVER (PARTITION BY
+    user_id ORDER BY ts, event_id) — the general window-numbering
+    primitive (global sort + per-block count carry, no whole-key group)."""
+    from ..stages.windows import row_number_partitioned
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return row_number_partitioned(ds, "user_id", "ts", "event_id").sort("event_id")
+
+
 def q_events_asof(sf_dir: str):
     """Distributed as-of join: every purchase event gets the latest click
     event at-or-before its timestamp (stages/windows.py::asof_join —

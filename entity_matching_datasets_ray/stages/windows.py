@@ -575,3 +575,89 @@ def interval_join(
     from ray.data.aggregate import Sum
 
     return matched.groupby(interval_id_col).aggregate(Sum("n_events", alias_name="n_events"))
+
+
+def row_number_partitioned(
+    ds,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+):
+    """SQL ``row_number() OVER (PARTITION BY key ORDER BY ts, id)`` —
+    scale-safe general window numbering.
+
+    Same mechanics as ``lag_partitioned``: ONE global sort on
+    (key, ts, id), local ``cumcount`` within each sorted block, and the
+    only cross-block state is a tiny per-block summary (first/last key +
+    their in-block row counts). The driver scans the summaries in block
+    order keeping one running (key, count) pair, so a key spanning many
+    blocks costs one summary row per block — never a whole-key pandas
+    group (the r02 low-cardinality-PARTITION-BY lesson).
+    """
+    import ray
+
+    sel = ds.select_columns([key_col, ts_col, id_col])
+    if num_partitions:
+        sel = sel.repartition(num_partitions)
+    s = sel.sort([key_col, ts_col, id_col]).materialize()
+
+    def block_summary(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                columns=["blk_key", "blk_ts", "blk_id", "first_key", "last_key", "n_first", "n_last"]
+            )
+        df = df.sort_values([key_col, ts_col, id_col])
+        fk, lk = df[key_col].iloc[0], df[key_col].iloc[-1]
+        return pd.DataFrame(
+            [
+                {
+                    "blk_key": fk,
+                    "blk_ts": df[ts_col].iloc[0],
+                    "blk_id": int(df[id_col].iloc[0]),
+                    "first_key": fk,
+                    "last_key": lk,
+                    "n_first": int((df[key_col] == fk).sum()),
+                    "n_last": int((df[key_col] == lk).sum()),
+                }
+            ]
+        )
+
+    summaries = (
+        s.map_batches(block_summary, batch_format="pandas", batch_size=None)
+        .to_pandas()
+        .sort_values(["blk_key", "blk_ts", "blk_id"])
+        .reset_index(drop=True)
+    )
+    # offset for each block's FIRST key = rows of that key in all
+    # preceding blocks (one running counter; keys fully inside a block
+    # never carry)
+    offsets: dict = {}
+    run_key, run_cnt = None, 0
+    for _, row in summaries.iterrows():
+        bkey = (row["first_key"], row["blk_ts"].to_pydatetime(), int(row["blk_id"]))
+        off = run_cnt if row["first_key"] == run_key else 0
+        offsets[bkey] = off
+        base = off + row["n_last"] if row["last_key"] == row["first_key"] else row["n_last"]
+        run_key, run_cnt = row["last_key"], int(base)
+    off_ref = ray.put(offsets)
+
+    def number(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            out = df[[id_col, key_col, ts_col]].copy()
+            out[out_col] = pd.Series(dtype="int64")
+            return out
+        om = ray.get(off_ref)
+        df = df.sort_values([key_col, ts_col, id_col]).reset_index(drop=True)
+        local = df.groupby(key_col, sort=False).cumcount().to_numpy()
+        fk = df[key_col].iloc[0]
+        bkey = (fk, df[ts_col].iloc[0].to_pydatetime(), int(df[id_col].iloc[0]))
+        off = om.get(bkey, 0)
+        rn = local + 1
+        rn = rn + np.where(df[key_col].to_numpy() == fk, off, 0)
+        out = df[[id_col, key_col, ts_col]].copy()
+        out[out_col] = rn.astype("int64")
+        return out
+
+    return s.map_batches(number, batch_format="pandas", batch_size=None)

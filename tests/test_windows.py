@@ -317,3 +317,56 @@ def test_interval_join_empty_and_boundary():
     # interval 10: event 1 only (event 2 at ts==end excluded);
     # interval 11: event 2; interval 12: nothing
     assert sorted(zip(got.interval_id, got.event_id)) == [(10, 1), (11, 2)]
+
+
+def test_row_number_matches_pandas_window():
+    """row_number over a mixed-cardinality key == pandas groupby.cumcount."""
+    from entity_matching_datasets_ray.stages.windows import row_number_partitioned
+
+    rng = np.random.RandomState(11)
+    n = 1500
+    df = pd.DataFrame(
+        {
+            "event_id": rng.permutation(n).astype(np.int64),
+            "user_id": rng.randint(0, 40, n).astype(np.int64),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.choice(10**6, n, replace=False), unit="s"),
+        }
+    )
+    out = (
+        row_number_partitioned(rd.from_pandas(df).repartition(9), "user_id", "ts", "event_id")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    bf = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    bf["rn"] = bf.groupby("user_id").cumcount() + 1
+    bf = bf.sort_values("event_id").reset_index(drop=True)
+    assert (out["rn"].to_numpy() == bf["rn"].to_numpy()).all()
+
+
+def test_row_number_single_hot_key_spanning_many_partitions():
+    """ONE key across 16 sorted blocks: offsets must chain through the
+    running per-block count carry."""
+    from entity_matching_datasets_ray.stages.windows import row_number_partitioned
+
+    rng = np.random.RandomState(5)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "event_id": rng.permutation(n).astype(np.int64),
+            "user_id": np.int64(7),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(np.sort(rng.choice(10**6, n, replace=False)), unit="s"),
+        }
+    )
+    out = (
+        row_number_partitioned(rd.from_pandas(df).repartition(16), "user_id", "ts", "event_id")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    bf = df.sort_values(["ts", "event_id"]).copy()
+    bf["rn"] = np.arange(1, n + 1)
+    bf = bf.sort_values("event_id").reset_index(drop=True)
+    assert (out["rn"].to_numpy() == bf["rn"].to_numpy()).all()
