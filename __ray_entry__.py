@@ -750,6 +750,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": R.q_orders_rollup,
         "golden_customers": _golden_customers,
         "vocab_topk_documents": _vocab_topk_documents,
+        "users_also_customers": R.q_users_also_customers,
+        "customers_never_active": R.q_customers_never_active,
         "exact_dedup_documents": _exact_dedup_documents,
         "fingerprint_dedup_documents": _fingerprint_dedup_documents,
         "token_counts_documents": _token_counts_documents,
@@ -1135,6 +1137,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         # planted exact-duplicate linkage fixture: the full blocking ->
         # scoring -> CC -> canonical-election pipeline must produce exactly
+        "users_also_customers": """
+            SELECT DISTINCT user_id FROM events
+            INTERSECT
+            SELECT DISTINCT o_custkey FROM orders
+            ORDER BY user_id
+        """,
+        "customers_never_active": """
+            SELECT DISTINCT o_custkey FROM orders
+            EXCEPT
+            SELECT DISTINCT user_id FROM events
+            ORDER BY o_custkey
+        """,
         # heavy hitters: identical whitespace tokenization on both sides
         "vocab_topk_documents": """
             SELECT tok AS token, CAST(count(*) AS BIGINT) AS cnt FROM (

@@ -524,3 +524,65 @@ def q_lineitem_filter_project(sf_dir: str):
         )
 
     return ds.map_batches(f, batch_format="pyarrow").sort(["l_orderkey", "l_linenumber"])
+
+
+def set_op(a, b, on: str, op: str):
+    """Distributed set semantics: DISTINCT ``a.on`` INTERSECT / EXCEPT
+    DISTINCT ``b.on`` in ONE shuffle.
+
+    Each side is batch-deduplicated (combiner), tagged with a side bit,
+    unioned, and a single ``groupby(on).aggregate(Max(in_a), Max(in_b))``
+    decides membership — intersect keeps keys seen on both sides, except
+    keeps keys seen only in ``a``. Shuffle volume is one row per distinct
+    key per batch, never the raw tables.
+    """
+    if op not in ("intersect", "except"):
+        raise ValueError(op)
+    from ray.data.aggregate import Max
+
+    def tagger(flag_a: int):
+        def tag(t: pa.Table) -> pa.Table:
+            keys = pc.unique(t.column(on))
+            n = len(keys)
+            return pa.table(
+                {
+                    on: keys,
+                    "in_a": pa.array([flag_a] * n, pa.int8()),
+                    "in_b": pa.array([1 - flag_a] * n, pa.int8()),
+                }
+            )
+
+        return tag
+
+    tagged = a.select_columns([on]).map_batches(tagger(1), batch_format="pyarrow").union(
+        b.select_columns([on]).map_batches(tagger(0), batch_format="pyarrow")
+    )
+    agg = tagged.groupby(on).aggregate(Max("in_a", alias_name="in_a"), Max("in_b", alias_name="in_b"))
+
+    def keep(t: pa.Table) -> pa.Table:
+        in_a = pc.equal(t.column("in_a"), 1)
+        in_b = pc.equal(t.column("in_b"), 1)
+        mask = pc.and_(in_a, in_b) if op == "intersect" else pc.and_(in_a, pc.invert(in_b))
+        return t.filter(mask).select([on])
+
+    return agg.map_batches(keep, batch_format="pyarrow")
+
+
+def q_users_also_customers(sf_dir: str):
+    """Cross-table set intersection: event user ids that are also order
+    customer keys (SQL INTERSECT)."""
+    ev = _read(sf_dir, "events", ["user_id"])
+    orders = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        lambda t: pa.table({"user_id": t.column("o_custkey")}), batch_format="pyarrow"
+    )
+    return set_op(ev, orders, "user_id", "intersect").sort("user_id")
+
+
+def q_customers_never_active(sf_dir: str):
+    """Cross-table set difference: order customer keys that never appear
+    as an event user (SQL EXCEPT)."""
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    ev = _read(sf_dir, "events", ["user_id"]).map_batches(
+        lambda t: pa.table({"o_custkey": t.column("user_id")}), batch_format="pyarrow"
+    )
+    return set_op(orders, ev, "o_custkey", "except").sort("o_custkey")

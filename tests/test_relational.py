@@ -46,3 +46,21 @@ def test_anti_join_shuffle_matches_broadcast():
 def test_cents_exact():
     t = pa.table({"x": pa.array([1013.7, -994.28, 0.01, 104997.88])})
     assert _cents(t["x"]).to_pylist() == [101370, -99428, 1, 10499788]
+
+
+def test_set_op_intersect_except(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.pipelines.relational import set_op
+
+    a = rd.from_pandas(pd.DataFrame({"k": [1, 2, 2, 3, 5]})).repartition(3)
+    b = rd.from_pandas(pd.DataFrame({"k": [2, 3, 3, 4]})).repartition(2)
+    inter = sorted(set_op(a, b, "k", "intersect").to_pandas()["k"])
+    assert inter == [2, 3]
+    exc = sorted(set_op(a, b, "k", "except").to_pandas()["k"])
+    assert exc == [1, 5]
+    import pytest
+
+    with pytest.raises(ValueError):
+        set_op(a, b, "k", "union")
