@@ -748,6 +748,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": R.q_customers_without_orders,
         "segment_price_quantiles": R.q_segment_price_quantiles,
         "orders_rollup": R.q_orders_rollup,
+        "orders_cube": R.q_orders_cube,
         "golden_customers": _golden_customers,
         "vocab_topk_documents": _vocab_topk_documents,
         "users_also_customers": R.q_users_also_customers,
@@ -1137,6 +1138,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         # planted exact-duplicate linkage fixture: the full blocking ->
         # scoring -> CC -> canonical-election pipeline must produce exactly
+        "orders_cube": """
+            SELECT o_orderpriority, o_orderstatus,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_price
+            FROM orders
+            GROUP BY CUBE(o_orderpriority, o_orderstatus)
+            ORDER BY o_orderpriority, o_orderstatus
+        """,
         "users_also_customers": """
             SELECT DISTINCT user_id FROM events
             INTERSECT

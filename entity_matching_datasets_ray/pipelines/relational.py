@@ -586,3 +586,79 @@ def q_customers_never_active(sf_dir: str):
         lambda t: pa.table({"o_custkey": t.column("user_id")}), batch_format="pyarrow"
     )
     return set_op(orders, ev, "o_custkey", "except").sort("o_custkey")
+
+
+def q_orders_cube(sf_dir: str):
+    """CUBE(o_orderpriority, o_orderstatus): all four grouping sets.
+
+    ONE corpus-wide shuffle (the detail groupby); the (priority), (status)
+    and () grouping sets re-aggregate the tiny detail table instead of
+    re-scanning orders — at 100 TB that's 3 free subtotal passes (the
+    detail table is bounded by the key-combination count, not the corpus).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    base = _read(
+        sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "o_orderstatus": t["o_orderstatus"],
+                "price_c": _cents(t["o_totalprice"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    detail = (
+        base.groupby(["o_orderpriority", "o_orderstatus"])
+        .aggregate(Count(alias_name="n_orders"), Sum("price_c", alias_name="price_c"))
+        .materialize()  # tiny: one row per key combination
+    )
+
+    def null_col(ds, col):
+        return ds.map_batches(
+            lambda t, col=col: t.append_column(col, pa.nulls(t.num_rows, pa.string())),
+            batch_format="pyarrow",
+        )
+
+    by_p = null_col(
+        detail.groupby("o_orderpriority").aggregate(
+            Sum("n_orders", alias_name="n_orders"), Sum("price_c", alias_name="price_c")
+        ),
+        "o_orderstatus",
+    )
+    by_s = null_col(
+        detail.groupby("o_orderstatus").aggregate(
+            Sum("n_orders", alias_name="n_orders"), Sum("price_c", alias_name="price_c")
+        ),
+        "o_orderpriority",
+    )
+    g = detail.aggregate(Sum("n_orders", alias_name="n_orders"), Sum("price_c", alias_name="price_c"))
+    total = rd.from_arrow(
+        pa.table(
+            {
+                "o_orderpriority": pa.nulls(1, pa.string()),
+                "o_orderstatus": pa.nulls(1, pa.string()),
+                "n_orders": pa.array([g["n_orders"]], pa.int64()),
+                "price_c": pa.array([g["price_c"]], pa.int64()),
+            }
+        )
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "o_orderstatus": t["o_orderstatus"],
+                "n_orders": pc.cast(t["n_orders"], pa.int64()),
+                "sum_price": _div_f64(t["price_c"], 100.0),
+            }
+        )
+
+    out = detail.map_batches(finalize, batch_format="pyarrow")
+    for extra in (by_p, by_s, total):
+        out = out.union(extra.map_batches(finalize, batch_format="pyarrow"))
+    # no final sort (NULL grouping levels); the harness compare is
+    # order-insensitive
+    return out
