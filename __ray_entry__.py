@@ -649,6 +649,41 @@ def _stratified_sample_documents(sf_dir: str):
     ).sort("doc_id")
 
 
+def _curate_training_data(sf_dir: str):
+    """END-TO-END training-data curation — the composition a 100 TB
+    pretraining pipeline actually runs, as ONE streaming Dataset chain:
+
+        annotate (quality + lang + fingerprint, one fused pass)
+        -> quality filter (keep score >= 0.5)
+        -> near-dup collapse (fingerprint groups -> survivorship fusion:
+           min doc_id survives, carries ITS lang via min_by)
+        -> leakage-safe train/valid/test split (pure hash, zero shuffle)
+        -> deterministic 50% subsample (independent salt)
+
+    Every stage is individually SQL-oracled elsewhere; this query oracle-
+    checks the COMPOSITION (stage-boundary bugs — wrong column, wrong
+    order, dropped rows — don't hide between green per-stage checks)."""
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.stages.fusion import fuse_records
+    from entity_matching_datasets_ray.stages.splits import assign_splits, deterministic_sample
+    from entity_matching_datasets_ray.stages.text_analysis import annotate_documents
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ann = annotate_documents(docs)
+    kept = ann.filter(expr="quality_score >= 0.5").select_columns(
+        ["doc_id", "lang_pred", "fingerprint"]
+    )
+    surv = fuse_records(
+        kept,
+        "fingerprint",
+        [("doc_id", "min", "doc_id"), ("lang_pred", "min_by", "lang_pred", "doc_id")],
+    ).select_columns(["doc_id", "lang_pred"])
+    split = assign_splits(surv, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1})
+    out = deterministic_sample(split, "doc_id", 0.5, salt=7)
+    return out.select_columns(["doc_id", "lang_pred", "split"]).sort("doc_id")
+
+
 def _vocab_topk_documents(sf_dir: str):
     """Distributed heavy hitters: global top-50 tokens over the documents
     corpus (per-batch partial counts -> token groupby -> lossless local
@@ -750,6 +785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": R.q_orders_rollup,
         "orders_cube": R.q_orders_cube,
         "golden_customers": _golden_customers,
+        "curate_training_data": _curate_training_data,
         "vocab_topk_documents": _vocab_topk_documents,
         "users_also_customers": R.q_users_also_customers,
         "customers_never_active": R.q_customers_never_active,
@@ -1157,6 +1193,69 @@ def oracle_sql() -> dict[str, str]:
             EXCEPT
             SELECT DISTINCT user_id FROM events
             ORDER BY o_custkey
+        """,
+        # the full curation composition: quality gate -> fingerprint-group
+        # survivorship (min id, its lang) -> hash split -> salted subsample
+        "curate_training_data": """
+            WITH ann AS (
+              SELECT doc_id, norm,
+                   CASE WHEN greatest(en, de, fr, es, it) = 0 THEN 'und'
+                        WHEN en = greatest(en, de, fr, es, it) THEN 'en'
+                        WHEN de = greatest(en, de, fr, es, it) THEN 'de'
+                        WHEN fr = greatest(en, de, fr, es, it) THEN 'fr'
+                        WHEN es = greatest(en, de, fr, es, it) THEN 'es'
+                        ELSE 'it' END AS lang_pred,
+                   least(1.0, greatest(0.0,
+                       CASE WHEN n_words >= 5 THEN 0.25 ELSE 0.0 END
+                       + CASE WHEN n_words > 0
+                              AND n_alpha / CAST(n_words AS DOUBLE) >= 3.0
+                              AND n_alpha / CAST(n_words AS DOUBLE) <= 10.0
+                              THEN 0.25 ELSE 0.0 END
+                       + 0.25 * least(1.0,
+                            (CASE WHEN n_words > 0
+                                  THEN stops / CAST(n_words AS DOUBLE)
+                                  ELSE 0.0 END) / 0.1)
+                       + 0.25 * (n_alpha / CAST(n AS DOUBLE))
+                   )) AS quality_score
+              FROM (
+                SELECT doc_id, n, n_alpha, norm, len(ws) AS n_words,
+                  len(list_filter(ws, w -> w IN ('the','and','of','to','a','in','is','that','it','for','was','with'))) AS stops,
+                  len(list_filter(ws, w -> w IN ('the','and','of','to','a','in','is','that','it','for','was','with'))) AS en,
+                  len(list_filter(ws, w -> w IN ('der','die','das','und','ist','nicht','ein','eine','zu','mit','von'))) AS de,
+                  len(list_filter(ws, w -> w IN ('le','la','les','et','est','une','un','pas','pour','que','dans'))) AS fr,
+                  len(list_filter(ws, w -> w IN ('el','la','los','las','y','es','un','una','que','por','con','para'))) AS es,
+                  len(list_filter(ws, w -> w IN ('il','la','che','di','e','un','una','per','non','sono','con'))) AS it
+                FROM (
+                  SELECT doc_id, length(text) AS n,
+                         length(replace(text, ' ', '')) AS n_alpha,
+                         list_transform(regexp_extract_all(text, '[a-zA-Z]+'),
+                                        w -> lower(w)) AS ws,
+                         array_to_string(list_filter(
+                             string_split_regex(lower(text), '\\s+'), x -> x <> ''), ' ') AS norm
+                  FROM documents
+                )
+              )
+            ),
+            surv AS (
+              SELECT doc_id, lang_pred FROM ann
+              WHERE quality_score >= 0.5
+              QUALIFY row_number() OVER (PARTITION BY norm ORDER BY doc_id) = 1
+            ),
+            hashed AS (
+              SELECT doc_id, lang_pred,
+                     ((CAST(doc_id AS HUGEINT) * 11400714819323198485)
+                       % 18446744073709551616) % 1000000 AS h,
+                     ((CAST(doc_id + 7 AS HUGEINT) * 11400714819323198485)
+                       % 18446744073709551616) % 1000000 AS h2
+              FROM surv
+            )
+            SELECT doc_id, lang_pred,
+                   CASE WHEN h < 800000 THEN 'train'
+                        WHEN h < 900000 THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM hashed
+            WHERE h2 < 500000
+            ORDER BY doc_id
         """,
         # heavy hitters: identical whitespace tokenization on both sides
         "vocab_topk_documents": """

@@ -91,6 +91,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         # switches to multi-pass at 4 CPUs, making the low leg faster and
         # the ratio look worse while every absolute number improves)
         blocking_path=os.environ.get("GRAFT_BENCH_BLOCKING_PATH", "auto"),
+        min_lsh_collisions=int(os.environ.get("GRAFT_BENCH_MIN_LSH", "2")),
     )
     timings: dict = {}
     clusters, entities, scored = run_linkage(
@@ -297,6 +298,12 @@ def run_scaling(sf_dir: str) -> dict:
             GRAFT_BENCH_BLOCKING_PATH=os.environ.get(
                 "GRAFT_BENCH_BLOCKING_PATH", "fused"
             ),
+            # scaling legs disable the LSH-collision pre-rank (matched
+            # plans both legs): the pruned plan leaves so little per-actor
+            # work at sandbox scale that constant pool spin-up dominates
+            # the fast leg and UNDERSTATES engine scaling — at 100 TB each
+            # actor scores orders of magnitude more pairs than either leg.
+            GRAFT_BENCH_MIN_LSH=os.environ.get("GRAFT_BENCH_MIN_LSH", "1"),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
