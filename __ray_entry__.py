@@ -783,7 +783,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": R.q_customers_without_orders,
         "segment_price_quantiles": R.q_segment_price_quantiles,
         "orders_rollup": R.q_orders_rollup,
+        "segment_price_quantiles_cont": R.q_segment_price_quantiles_cont,
         "orders_cube": R.q_orders_cube,
+        "priority_order_lists": R.q_priority_order_lists,
         "golden_customers": _golden_customers,
         "curate_training_data": _curate_training_data,
         "vocab_topk_documents": _vocab_topk_documents,
@@ -1092,6 +1094,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_mktsegment
             ORDER BY c_mktsegment
         """,
+        "segment_price_quantiles_cont": """
+            SELECT c_mktsegment,
+                   quantile_cont(o_totalprice, 0.5) AS p50,
+                   quantile_cont(o_totalprice, 0.9) AS p90,
+                   count(*) AS n_rows
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment
+        """,
         "customers_without_orders": """
             SELECT c_custkey, c_name
             FROM customer
@@ -1181,6 +1192,19 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY CUBE(o_orderpriority, o_orderstatus)
             ORDER BY o_orderpriority, o_orderstatus
+        """,
+        # grouped top-k -> grouped ordered collect (string_agg)
+        "priority_order_lists": """
+            WITH top AS (
+                SELECT o_orderpriority, o_orderkey FROM orders
+                QUALIFY row_number() OVER (
+                    PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice DESC, o_orderkey ASC) <= 20
+            )
+            SELECT o_orderpriority,
+                   string_agg(o_orderkey, ',' ORDER BY o_orderkey) AS order_keys
+            FROM top GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
         """,
         "users_also_customers": """
             SELECT DISTINCT user_id FROM events

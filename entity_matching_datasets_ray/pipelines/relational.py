@@ -340,10 +340,17 @@ def grouped_quantiles(
     value_col: str,
     qs: tuple[float, ...] = (0.5, 0.9),
     num_partitions: int | None = None,
+    method: str = "disc",
 ):
-    """Exact per-group discrete quantiles: the selected element is
-    ``sorted[ceil(q*n) - 1]`` — SQL ``quantile_disc`` semantics, so the
-    value is a passthrough of a real row (bit-identical to any oracle).
+    """Exact per-group quantiles.
+
+    - ``method="disc"``: the selected element is ``sorted[ceil(q*n) - 1]``
+      — SQL ``quantile_disc`` semantics, a passthrough of a real row
+      (bit-identical to any oracle).
+    - ``method="cont"``: linear interpolation at position ``q*(n-1)``
+      computed as ``lo*(1-frac) + hi*frac`` — verified bit-identical to
+      DuckDB's ``quantile_cont`` on DOUBLE columns (the other algebraic
+      form, ``lo + (hi-lo)*frac``, differs in the last bit).
 
     Partitioning assumption: one key's rows fit in a partition (the same
     PARTITION BY contract as ``windows.lag_partitioned``); a corpus-wide
@@ -355,12 +362,21 @@ def grouped_quantiles(
     import numpy as np
     import pandas as pd
 
+    if method not in ("disc", "cont"):
+        raise ValueError(method)
+
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
         v = np.sort(g[value_col].to_numpy())
         n = len(v)
         row = {c: g[c].iloc[0] for c in key_cols}
         for q in qs:
-            row[f"p{round(q * 100):02d}"] = v[max(0, math.ceil(q * n) - 1)]
+            if method == "disc":
+                row[f"p{round(q * 100):02d}"] = v[max(0, math.ceil(q * n) - 1)]
+            else:
+                pos = q * (n - 1)
+                lo, hi = int(math.floor(pos)), int(math.ceil(pos))
+                frac = pos - lo
+                row[f"p{round(q * 100):02d}"] = v[lo] * (1 - frac) + v[hi] * frac
         row["n_rows"] = np.int64(n)
         return pd.DataFrame([row])
 
@@ -378,6 +394,15 @@ def q_segment_price_quantiles(sf_dir: str):
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     j = orders.join(cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",))
     return grouped_quantiles(j, ["c_mktsegment"], "o_totalprice").sort("c_mktsegment")
+
+
+def q_segment_price_quantiles_cont(sf_dir: str):
+    """Interpolated (percentile_cont) variant — bit-identical to DuckDB
+    quantile_cont via the lo*(1-frac)+hi*frac form."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    j = orders.join(cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",))
+    return grouped_quantiles(j, ["c_mktsegment"], "o_totalprice", method="cont").sort("c_mktsegment")
 
 
 def q_orders_rollup(sf_dir: str):
@@ -662,3 +687,68 @@ def q_orders_cube(sf_dir: str):
     # no final sort (NULL grouping levels); the harness compare is
     # order-insensitive
     return out
+
+
+def grouped_collect(
+    ds,
+    key_cols: list[str],
+    value_col: str,
+    out_col: str = "items",
+    sep: str = ",",
+    num_buckets: int = 64,
+):
+    """Grouped ordered collect: per group, the ``sep``-joined string of
+    values sorted ascending (SQL ``string_agg(v, sep ORDER BY v)``).
+
+    Bucketed like ``fusion.fuse_records``: groups shuffle once on
+    ``hash(key) % buckets`` and each bucket concatenates MANY whole groups
+    with one vectorized sort + a cheap per-group join — no whole-key
+    partition assumption beyond a single group's values fitting in memory.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def bucket_of(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(
+            df[key_cols[0]] if len(key_cols) == 1 else df[key_cols].apply(tuple, axis=1),
+            index=False,
+        )
+        df = df.copy()
+        df["__bucket"] = (h.to_numpy(dtype=np.uint64) % np.uint64(num_buckets)).astype(np.int32)
+        return df
+
+    def collect(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(key_cols + [value_col], kind="mergesort")
+        s = df[value_col].astype(str)
+        out = (
+            s.groupby([df[c] for c in key_cols], sort=True)
+            .agg(sep.join)
+            .rename(out_col)
+            .reset_index()
+        )
+        return out
+
+    return (
+        ds.select_columns(key_cols + [value_col])
+        .map_batches(bucket_of, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(collect, batch_format="pandas")
+    )
+
+
+def q_priority_order_lists(sf_dir: str):
+    """Grouped ordered collect: per order priority, the comma-joined
+    ascending list of its 20 highest-value order keys — collect composed
+    after a grouped top-k (both shuffle-once)."""
+    import pandas as pd
+
+    orders = _read(sf_dir, "orders", ["o_orderpriority", "o_orderkey", "o_totalprice"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(20)
+        return g[["o_orderpriority", "o_orderkey"]]
+
+    top = orders.groupby("o_orderpriority").map_groups(topk, batch_format="pandas")
+    return grouped_collect(top, ["o_orderpriority"], "o_orderkey", out_col="order_keys").sort(
+        "o_orderpriority"
+    )

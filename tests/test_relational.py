@@ -64,3 +64,32 @@ def test_set_op_intersect_except(ray_session):
 
     with pytest.raises(ValueError):
         set_op(a, b, "k", "union")
+
+
+def test_grouped_collect_and_cont_quantiles(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.pipelines.relational import grouped_collect, grouped_quantiles
+
+    df = pd.DataFrame({"k": ["a", "a", "b", "a", "b"], "v": [3, 1, 9, 2, 4]})
+    got = (
+        grouped_collect(rd.from_pandas(df).repartition(3), ["k"], "v", num_buckets=4)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(got["items"]) == ["1,2,3", "4,9"]
+
+    # cont quantiles: interpolation matches numpy's linear method; n=1 group
+    df2 = pd.DataFrame({"k": ["x"] * 5 + ["y"], "v": [1.0, 2.0, 3.0, 4.0, 10.0, 7.0]})
+    q = (
+        grouped_quantiles(rd.from_pandas(df2), ["k"], "v", qs=(0.5, 0.9), method="cont")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert q.loc[0, "p50"] == 3.0
+    assert abs(q.loc[0, "p90"] - np.quantile([1, 2, 3, 4, 10], 0.9)) < 1e-12
+    assert q.loc[1, "p50"] == 7.0 and q.loc[1, "p90"] == 7.0
