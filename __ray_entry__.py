@@ -169,6 +169,27 @@ def _dedup_planted(sf_dir: str, mode: str):
     )
 
 
+def _ngram_jaccard_planted(sf_dir: str):
+    """EXACT char-3-gram Jaccard join over the planted near-dup corpus:
+    the planted dup drops one of ~30 hash tokens, so gram-Jaccard within
+    a pair is ~0.97 while cross-id docs (near-disjoint token sets over a
+    16-char gram alphabet) sit near 0.06 — threshold 0.5 separates with
+    a wide margin and the expected pair set {(id, id+1e6)} is
+    SQL-derivable from the id column (recall AND precision checked)."""
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.stages.dedup import ngram_jaccard_join
+    from entity_matching_datasets_ray.synth import planted_dup_docs
+
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    fixture = planted_dup_docs(ids, mode="minhash")
+    return (
+        ngram_jaccard_join(fixture, n=3, threshold=0.5)
+        .select_columns(["left_id", "right_id"])
+        .sort(["left_id", "right_id"])
+    )
+
+
 def _minhash_planted_pairs(sf_dir: str):
     return _dedup_planted(sf_dir, "minhash")
 
@@ -797,6 +818,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "confusion_eval": _confusion_eval,
         "eval_log_confusion": _eval_log_confusion,
         "minhash_planted_pairs": _minhash_planted_pairs,
+        "ngram_jaccard_planted": _ngram_jaccard_planted,
         "simhash_planted_pairs": _simhash_planted_pairs,
         # linkage + training-data ops (rows-only)
         "linkage_clusters": _linkage_clusters,
@@ -1353,6 +1375,10 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY left_id, right_id
         """,
         "simhash_planted_pairs": """
+            SELECT doc_id AS left_id, doc_id + 1000000 AS right_id
+            FROM documents ORDER BY left_id, right_id
+        """,
+        "ngram_jaccard_planted": """
             SELECT doc_id AS left_id, doc_id + 1000000 AS right_id
             FROM documents ORDER BY left_id, right_id
         """,

@@ -999,7 +999,10 @@ def jaccard_similarity_join(
             bounds = np.unique(np.concatenate(([0], cuts + 1, [k])))
             for a, b in zip(bounds[:-1], bounds[1:]):
                 if a < b:
-                    items.append({"band_ord": bo, "i_lo": int(a), "i_hi": int(b)})
+                    np_slice = int(cum[b - 1] - (cum[a - 1] if a > 0 else 0))
+                    items.append(
+                        {"band_ord": bo, "i_lo": int(a), "i_hi": int(b), "n_pairs": np_slice}
+                    )
 
         blob_ref = ray.put((starts, flat_pos, flat_ns, flat_ids, bits, ntok))
 
@@ -1080,9 +1083,21 @@ def jaccard_similarity_join(
                     }
                 )
             )
-        items_ds = _rd.from_pandas(pd.DataFrame(items)).repartition(len(items))
-        verified = items_ds.map_batches(
-            fused_verify, batch_format="pyarrow", batch_size=1
+        # Pack items into ~pair-count-balanced TASKS, not one task per
+        # item: a low-vocab corpus (e.g. char n-grams) makes nearly every
+        # band a work item, and per-item tasks drown in scheduling
+        # overhead (measured: thousands of 1-row tasks for a 20-doc
+        # n-gram corpus). Big bands still split at TARGET_PAIRS above;
+        # small bands ride together.
+        idf = pd.DataFrame(items)
+        total_pairs = int(idf["n_pairs"].sum())
+        n_tasks = min(len(items), max(2 * hi, int(np.ceil(total_pairs / TARGET_PAIRS))))
+        per_task = max(1, -(-total_pairs // n_tasks))
+        idf["grp"] = ((np.cumsum(idf["n_pairs"].to_numpy()) - 1) // per_task).astype(np.int64)
+        verified = (
+            _rd.from_pandas(idf)
+            .groupby("grp")
+            .map_groups(fused_verify, batch_format="pyarrow")
         )
 
         def add_pair_bucket(t: pa.Table) -> pa.Table:
@@ -1120,4 +1135,44 @@ def jaccard_similarity_join(
         batch_format="pandas",
         batch_size=2048,
         concurrency=concurrency,
+    )
+
+
+def ngram_jaccard_join(
+    ds,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kwargs,
+):
+    """EXACT character-n-gram Jaccard similarity self-join: all pairs with
+    Jaccard(shingles(a, n), shingles(b, n)) >= threshold.
+
+    A thin re-tokenization over ``jaccard_similarity_join``: each doc's
+    text is rewritten as the space-joined set of hex-encoded n-grams
+    (hex because grams themselves may contain whitespace), after which
+    gram-Jaccard IS token-Jaccard and the whole AllPairs/PPJoin machinery
+    — rarest-first prefix filter, fused bitset verify, capped + metered
+    shuffle plan — applies unchanged. The hex encoding is deterministic
+    and SQL-reproducible (``lower(hex(gram))``).
+
+    n-gram Jaccard tolerates in-word edits that token Jaccard misses
+    (typo'd words share most grams but zero tokens) — the classic
+    near-dup flavor between exact-token joins and MinHash sketches.
+    """
+    from ..functions.similarity import ngram_shingles
+
+    def to_grams(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        enc = [
+            " ".join(g.encode().hex() for g in ngram_shingles((s or "").lower(), n))
+            for s in texts
+        ]
+        idx = t.schema.get_field_index(text_col)
+        return t.set_column(idx, text_col, pa.array(enc, pa.string()))
+
+    grams = ds.map_batches(to_grams, batch_format="pyarrow")
+    return jaccard_similarity_join(
+        grams, threshold=threshold, id_col=id_col, text_col=text_col, **kwargs
     )

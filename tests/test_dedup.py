@@ -266,3 +266,34 @@ def test_jaccard_join_broadcast_equals_shuffle():
         ).to_pandas()
         res[strat] = sorted(zip(df.left_id, df.right_id, df.jaccard))
     assert res["broadcast"] == res["shuffle"] == _brute_token_jaccard_pairs(texts, 0.6)
+
+
+def test_ngram_jaccard_join_matches_brute_force(ray_session):
+    """Char-3-gram Jaccard join == brute-force ngram_jaccard over all
+    pairs, including a typo pair token-Jaccard would miss."""
+    import itertools
+
+    import pandas as pd
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.functions.similarity import ngram_jaccard
+    from entity_matching_datasets_ray.stages.dedup import ngram_jaccard_join
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brwon fox jumps over the lazy dog",  # typo: shares grams, not tokens
+        3: "a completely different sentence about ray data pipelines",
+        4: "a completely different sentense about ray data pipelines",
+        5: "short",
+    }
+    thr = 0.6
+    want = sorted(
+        (a, b)
+        for a, b in itertools.combinations(sorted(texts), 2)
+        if ngram_jaccard(texts[a].lower(), texts[b].lower(), 3) >= thr
+    )
+    assert len(want) >= 2  # both typo pairs must be in play
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())}))
+    got = ngram_jaccard_join(ds, n=3, threshold=thr).to_pandas()
+    got_pairs = sorted(zip(got["left_id"], got["right_id"]))
+    assert got_pairs == want
