@@ -745,6 +745,19 @@ def _linkage_two_table_planted(sf_dir: str):
     return matches.select_columns(["a_id", "b_id"]).sort(["a_id", "b_id"])
 
 
+def _approx_distinct_orders(sf_dir: str):
+    """KMV (bottom-k) distinct-count sketch over order keys: because the
+    hash is the documented SQL-reproducible multiplier, the k-th order
+    statistic — and therefore the ESTIMATE itself — is bit-identical to
+    the SQL oracle: an approximate operator with an exact oracle."""
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.stages.sketches import kmv_distinct
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+    return kmv_distinct(ds, "o_orderkey", k=1024)
+
+
 def _golden_customers(sf_dir: str):
     """Record fusion (survivorship / golden records): one canonical row
     per customer fused from their orders with the classic deterministic
@@ -809,6 +822,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_order_lists": R.q_priority_order_lists,
         "golden_customers": _golden_customers,
         "curate_training_data": _curate_training_data,
+        "approx_distinct_orders": _approx_distinct_orders,
         "vocab_topk_documents": _vocab_topk_documents,
         "users_also_customers": R.q_users_also_customers,
         "customers_never_active": R.q_customers_never_active,
@@ -1239,6 +1253,23 @@ def oracle_sql() -> dict[str, str]:
             EXCEPT
             SELECT DISTINCT user_id FROM events
             ORDER BY o_custkey
+        """,
+        # KMV bottom-k sketch: SQL-reproducible hash -> k-th order
+        # statistic -> closed-form estimate, bit-identical both sides
+        "approx_distinct_orders": """
+            WITH h AS (
+                SELECT DISTINCT ((CAST(o_orderkey AS HUGEINT) * 11400714819323198485)
+                                 % 18446744073709551616) AS hv
+                FROM orders
+            ),
+            b AS (SELECT hv FROM h ORDER BY hv LIMIT 1024),
+            s AS (SELECT count(*) AS n, max(hv) AS kth FROM b)
+            SELECT CASE WHEN n < 1024 THEN CAST(n AS BIGINT)
+                        ELSE CAST(floor(1023 * 18446744073709551616.0
+                                        / CAST(kth AS DOUBLE)) AS BIGINT)
+                   END AS n_distinct_est,
+                   CAST(n AS BIGINT) AS k_used
+            FROM s
         """,
         # the full curation composition: quality gate -> fingerprint-group
         # survivorship (min id, its lang) -> hash split -> salted subsample

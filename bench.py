@@ -233,6 +233,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     _E._linkage_two_table_planted(sf_dir).count()
     queries["linkage_two_table"] = round(time.time() - t0, 2)
 
+    t0 = time.time()
+    _E._curate_training_data(sf_dir).count()
+    queries["curate_training_data"] = round(time.time() - t0, 2)
+
     result = {
         "metric": "linkage_synth_sec",
         "value": round(linkage_sec, 2),
