@@ -823,6 +823,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "golden_customers": _golden_customers,
         "curate_training_data": _curate_training_data,
         "approx_distinct_orders": _approx_distinct_orders,
+        "order_price_quantiles_global": R.q_order_price_quantiles_global,
         "vocab_topk_documents": _vocab_topk_documents,
         "users_also_customers": R.q_users_also_customers,
         "customers_never_active": R.q_customers_never_active,
@@ -1253,6 +1254,16 @@ def oracle_sql() -> dict[str, str]:
             EXCEPT
             SELECT DISTINCT user_id FROM events
             ORDER BY o_custkey
+        """,
+        # corpus-wide exact quantiles (global sort + block-offset pick)
+        "order_price_quantiles_global": """
+            SELECT q, o_totalprice FROM (
+                SELECT 0.5 AS q, quantile_disc(o_totalprice, 0.5) AS o_totalprice FROM orders
+                UNION ALL
+                SELECT 0.9, quantile_disc(o_totalprice, 0.9) FROM orders
+                UNION ALL
+                SELECT 0.99, quantile_disc(o_totalprice, 0.99) FROM orders
+            ) ORDER BY q
         """,
         # KMV bottom-k sketch: SQL-reproducible hash -> k-th order
         # statistic -> closed-form estimate, bit-identical both sides

@@ -752,3 +752,66 @@ def q_priority_order_lists(sf_dir: str):
     return grouped_collect(top, ["o_orderpriority"], "o_orderkey", out_col="order_keys").sort(
         "o_orderpriority"
     )
+
+
+def global_quantiles(ds, value_col: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99)):
+    """EXACT corpus-wide discrete quantiles without a whole-corpus
+    collect: global sort on the value column, then per-block row counts
+    (one int per block) locate each quantile's block, and one tiny task
+    per hit block fetches just the selected rows.
+
+    SQL ``quantile_disc`` semantics: element at ``ceil(q*n) - 1`` of the
+    ascending sort — a passthrough of a real row, bit-identical to the
+    oracle. Driver state: one count per block + the len(qs)-row result;
+    the sorted corpus itself stays in the object store.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    import ray
+    from ray.data.block import BlockAccessor
+
+    s = ds.select_columns([value_col]).sort(value_col).materialize()
+    # ordered block refs of the sorted dataset (range-partitioned: block
+    # order IS global order; each block is internally sorted)
+    refs = []
+    for bundle in s.iter_internal_ref_bundles():
+        refs.extend(bundle.block_refs)
+
+    @ray.remote
+    def _nrows(block) -> int:
+        return BlockAccessor.for_block(block).num_rows()
+
+    counts = ray.get([_nrows.remote(r) for r in refs])
+    n_total = int(sum(counts))
+    if n_total == 0:
+        return ray.data.from_pandas(
+            pd.DataFrame({"q": pd.Series(dtype="float64"),
+                          value_col: pd.Series(dtype="float64")})
+        )
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    by_block: dict[int, list] = {}
+    for q in qs:
+        pos = max(0, math.ceil(q * n_total) - 1)
+        b = int(np.searchsorted(offsets, pos, side="right") - 1)
+        by_block.setdefault(b, []).append((q, pos - int(offsets[b])))
+
+    @ray.remote
+    def _pick(block, items):
+        df = BlockAccessor.for_block(block).to_pandas()
+        return [(q, df[value_col].iloc[local]) for q, local in items]
+
+    picked = ray.get([_pick.remote(refs[b], items) for b, items in by_block.items()])
+    rows = sorted((q, v) for part in picked for q, v in part)
+    return ray.data.from_pandas(
+        pd.DataFrame({"q": [q for q, _ in rows], value_col: [v for _, v in rows]})
+    )
+
+
+def q_order_price_quantiles_global(sf_dir: str):
+    """Corpus-wide exact p50/p90/p99 of order prices (global sort +
+    block-offset selection; the corpus never reaches the driver)."""
+    orders = _read(sf_dir, "orders", ["o_totalprice"])
+    return global_quantiles(orders, "o_totalprice", (0.5, 0.9, 0.99))

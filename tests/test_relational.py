@@ -93,3 +93,22 @@ def test_grouped_collect_and_cont_quantiles(ray_session):
     assert q.loc[0, "p50"] == 3.0
     assert abs(q.loc[0, "p90"] - np.quantile([1, 2, 3, 4, 10], 0.9)) < 1e-12
     assert q.loc[1, "p50"] == 7.0 and q.loc[1, "p90"] == 7.0
+
+
+def test_global_quantiles_matches_numpy(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.pipelines.relational import global_quantiles
+
+    rng = np.random.default_rng(4)
+    vals = np.round(rng.uniform(0, 1000, 5000), 2)
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(13)
+    got = global_quantiles(ds, "v", (0.01, 0.5, 0.9, 1.0)).to_pandas()
+    sv = np.sort(vals)
+    import math
+
+    for _, row in got.iterrows():
+        want = sv[max(0, math.ceil(row["q"] * len(sv)) - 1)]
+        assert row["v"] == want, (row["q"], row["v"], want)
