@@ -824,6 +824,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_training_data": _curate_training_data,
         "approx_distinct_orders": _approx_distinct_orders,
         "order_price_quantiles_global": R.q_order_price_quantiles_global,
+        "segment_status_pivot": R.q_segment_status_pivot,
+        "part_size_unpivot": R.q_part_size_unpivot,
         "vocab_topk_documents": _vocab_topk_documents,
         "users_also_customers": R.q_users_also_customers,
         "customers_never_active": R.q_customers_never_active,
@@ -1254,6 +1256,23 @@ def oracle_sql() -> dict[str, str]:
             EXCEPT
             SELECT DISTINCT user_id FROM events
             ORDER BY o_custkey
+        """,
+        # PIVOT as conditional aggregation; column names = pivot values
+        "segment_status_pivot": """
+            SELECT c_mktsegment,
+                   CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+                   CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+                   CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment
+        """,
+        # UNPIVOT / melt to (key, name, value) long rows
+        "part_size_unpivot": """
+            SELECT p_partkey, 'p_retailprice' AS name, CAST(p_retailprice AS DOUBLE) AS value FROM part
+            UNION ALL
+            SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part
+            ORDER BY p_partkey, name
         """,
         # corpus-wide exact quantiles (global sort + block-offset pick)
         "order_price_quantiles_global": """

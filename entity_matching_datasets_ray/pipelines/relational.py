@@ -815,3 +815,70 @@ def q_order_price_quantiles_global(sf_dir: str):
     block-offset selection; the corpus never reaches the driver)."""
     orders = _read(sf_dir, "orders", ["o_totalprice"])
     return global_quantiles(orders, "o_totalprice", (0.5, 0.9, 0.99))
+
+
+def pivot_counts(ds, key_col: str, pivot_col: str, values: list[str], agg_col: str | None = None):
+    """PIVOT: one row per key, one column per pivot value, cells = counts
+    (or exact cent sums of ``agg_col``). Indicator projection inside
+    ``map_batches`` + ONE partial-agg groupby — the classic conditional-
+    aggregation plan; no per-value scan."""
+
+    def project(t: pa.Table) -> pa.Table:
+        cols = {key_col: t[key_col]}
+        pv = t[pivot_col]
+        for v in values:
+            mask = pc.equal(pv, pa.scalar(v))
+            ind = pc.cast(pc.fill_null(mask, False), pa.int64())
+            if agg_col is not None:
+                cols[f"{v}"] = pc.multiply(ind, _cents(t[agg_col]))
+            else:
+                cols[f"{v}"] = ind
+        return pa.table(cols)
+
+    aggs = [Sum(v, alias_name=v) for v in values]
+    out = ds.map_batches(project, batch_format="pyarrow").groupby(key_col).aggregate(*aggs)
+    if agg_col is not None:
+        def finalize(t: pa.Table) -> pa.Table:
+            cols = {key_col: t[key_col]}
+            for v in values:
+                cols[v] = _div_f64(t[v], 100.0)
+            return pa.table(cols)
+        out = out.map_batches(finalize, batch_format="pyarrow")
+    return out
+
+
+def unpivot(ds, key_col: str, value_cols: list[str], var_name: str = "name", value_name: str = "value"):
+    """UNPIVOT / melt: wide columns -> (key, name, value) long rows. Pure
+    vectorized flat-map: each batch emits len(value_cols) stacked copies
+    of itself — zero shuffle."""
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        keys, names, vals = [], [], []
+        for c in value_cols:
+            keys.append(t[key_col].combine_chunks())
+            names.append(pa.array([c] * n, pa.string()))
+            vals.append(pc.cast(t[c], pa.float64()))
+        return pa.table(
+            {
+                key_col: pa.concat_arrays([k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k for k in keys]),
+                var_name: pa.concat_arrays(names),
+                value_name: pa.concat_arrays([v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v for v in vals]),
+            }
+        )
+
+    return ds.map_batches(melt, batch_format="pyarrow")
+
+
+def q_segment_status_pivot(sf_dir: str):
+    """PIVOT: customer segments x order status -> order counts."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    j = orders.join(cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",))
+    return pivot_counts(j, "c_mktsegment", "o_orderstatus", ["F", "O", "P"]).sort("c_mktsegment")
+
+
+def q_part_size_unpivot(sf_dir: str):
+    """UNPIVOT: part (p_size, p_retailprice) wide columns -> long rows."""
+    parts = _read(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
+    return unpivot(parts, "p_partkey", ["p_size", "p_retailprice"]).sort(["p_partkey", "name"])
