@@ -63,3 +63,56 @@ def test_quantile_index_rule_matches_sorted_element(values, q):
     assert got in values
     # at least ceil(q*n) elements are <= the selected value
     assert (v <= got).sum() >= math.ceil(q * n)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 6),                      # cluster key
+            st.sampled_from(["a", "bb", "bb", "ccc", None]),  # string attr
+            st.one_of(st.none(), st.integers(-5, 5)),          # order attr
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_fuse_records_matches_brute_force_any_input(ray_session, rows):
+    """fuse_records == a weight-unaware pandas brute force on arbitrary
+    inputs (nulls, ties, singleton clusters) at a fixed partitioning —
+    the combiner's weights and the bucketed merge must be invisible."""
+    import pandas as pd
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.stages.fusion import fuse_records
+
+    df = pd.DataFrame(rows, columns=["k", "s", "o"])
+    got = (
+        fuse_records(
+            rd.from_pandas(df).repartition(3),
+            "k",
+            [("mode_s", "mode", "s"), ("best_s", "max_by", "s", "o"), ("max_o", "max", "o")],
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    for _, row in got.iterrows():
+        g = df[df["k"] == row["k"]]
+        assert row["n_members"] == len(g)
+        nn = g.dropna(subset=["s"])
+        if len(nn):
+            c = nn.groupby("s").size().reset_index(name="c")
+            c = c.sort_values(["c", "s"], ascending=[False, True], kind="mergesort")
+            assert row["mode_s"] == c["s"].iloc[0]
+        else:
+            assert pd.isna(row["mode_s"])
+        both = g.dropna(subset=["s", "o"]).sort_values(
+            ["o", "s"], ascending=[False, True], kind="mergesort"
+        )
+        if len(both):
+            assert row["best_s"] == both["s"].iloc[0]
+        else:
+            assert pd.isna(row["best_s"])
+    assert set(got["k"]) == set(df["k"])
