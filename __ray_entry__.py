@@ -656,6 +656,37 @@ def _media_dedup_pairs(sf_dir: str):
     return media_dedup_pairs(docs, num_partitions=8).sort(["left_id", "right_id"])
 
 
+def _media_frame_sample(sf_dir: str):
+    """Frame sampling over the planted media corpus (actor-pool fan-out:
+    one row per sampled frame; the decode is gated, the probe is
+    deterministic from the ref's numeric tail, so the expansion — which
+    docs yield how many frames — is SQL-derivable from the id column)."""
+    from entity_matching_datasets_ray.pipelines.flagship import docs_with_planted_media
+    from entity_matching_datasets_ray.stages.multimodal import sample_frames
+
+    docs = docs_with_planted_media(sf_dir, group=25)
+    return (
+        sample_frames(docs)
+        .select_columns(["doc_id", "media_ref", "frame_idx"])
+        .sort(["doc_id", "frame_idx"])
+    )
+
+
+def _media_resize_plan(sf_dir: str):
+    """Aspect-preserving integer resize plan per media object (the
+    Ray-side contract a real resample kernel drops into): exact integer
+    math both sides."""
+    from entity_matching_datasets_ray.pipelines.flagship import docs_with_planted_media
+    from entity_matching_datasets_ray.stages.multimodal import plan_resize
+
+    docs = docs_with_planted_media(sf_dir, group=25)
+    return (
+        plan_resize(docs, target_h=64)
+        .select_columns(["doc_id", "media_ref", "orig_h", "orig_w", "out_h", "out_w"])
+        .sort("doc_id")
+    )
+
+
 def _stratified_sample_documents(sf_dir: str):
     """Training-data mixture primitive: per-language deterministic
     sampling (keep 50% of en, 25% of de, 10% of everything else), keyed
@@ -808,6 +839,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_join_events": _interval_join_events,
         "leakage_safe_split": _leakage_safe_split,
         "media_dedup_pairs": _media_dedup_pairs,
+        "media_frame_sample": _media_frame_sample,
+        "media_resize_plan": _media_resize_plan,
         "stratified_sample_documents": _stratified_sample_documents,
         "part_type_stats": R.q_part_type_stats,
         "distinct_langs": R.q_distinct_langs,
@@ -988,6 +1021,25 @@ def oracle_sql() -> dict[str, str]:
                         WHEN h < 900000 THEN 'valid'
                         ELSE 'test' END AS split
             FROM c ORDER BY doc_id
+        """,
+        # frame fan-out: group g = doc_id % 25 yields 1 + (g % 4) frames
+        "media_frame_sample": """
+            SELECT 'doc:' || lpad(CAST(doc_id AS VARCHAR), 10, '0') AS doc_id,
+                   'synthetic://img/' || (doc_id % 25) AS media_ref,
+                   CAST(unnest(range(0, 1 + (doc_id % 25) % 4)) AS INTEGER) AS frame_idx
+            FROM documents
+            ORDER BY doc_id, frame_idx
+        """,
+        # aspect-preserving integer resize plan from the probe dims
+        "media_resize_plan": """
+            SELECT 'doc:' || lpad(CAST(doc_id AS VARCHAR), 10, '0') AS doc_id,
+                   'synthetic://img/' || g AS media_ref,
+                   CAST(240 + 16 * (g % 5) AS INTEGER) AS orig_h,
+                   CAST(320 + 16 * (g % 7) AS INTEGER) AS orig_w,
+                   CAST(64 AS INTEGER) AS out_h,
+                   CAST(((320 + 16 * (g % 7)) * 64) // (240 + 16 * (g % 5)) AS INTEGER) AS out_w
+            FROM (SELECT doc_id, doc_id % 25 AS g FROM documents)
+            ORDER BY doc_id
         """,
         # planted media duplicates: doc i carries group (i % 25)'s media
         # object; exact media dedup = min member paired with every other

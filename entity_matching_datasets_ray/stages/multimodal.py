@@ -172,3 +172,115 @@ def media_dedup_pairs(docs, num_partitions: int | None = 16, concurrency=(1, 4))
         .groupby("fp", num_partitions=num_partitions)
         .map_groups(per_group, batch_format="pandas")
     )
+
+
+def _fake_probe(ref: str) -> dict:
+    """Deterministic stand-in media metadata, derived from the NUMERIC
+    tail of the ref when present (so tests/oracles can re-derive it in
+    SQL) else from the ref hash: original dims + frame count."""
+    tail = ref.rsplit("/", 1)[-1]
+    g = int(tail) if tail.isdigit() else int.from_bytes(
+        hashlib.blake2b(ref.encode(), digest_size=4).digest(), "little"
+    )
+    return {
+        "orig_h": 240 + 16 * (g % 5),
+        "orig_w": 320 + 16 * (g % 7),
+        "n_frames": 1 + (g % 4),
+    }
+
+
+class FrameSampler:
+    """Actor-pool stage: one media row -> one row per sampled frame
+    (doc_id, media_ref, frame_idx, frame_feature). The real decoder
+    (PyAV/ffmpeg) is gated exactly like MediaFeaturizer; the fake probe
+    derives a deterministic frame count so the expansion is testable and
+    SQL-oracle-checkable. Batch expansion happens inside the actor — one
+    input batch in, one (larger) Arrow batch out; no per-frame tasks."""
+
+    def __init__(self, decoder: str = "fake", max_frames: int = 8, probe_fn=None):
+        if decoder not in ("fake", "real"):
+            raise ValueError(decoder)
+        if decoder == "real" and probe_fn is None:
+            raise NotImplementedError(
+                "real frame sampling requires an ffmpeg/PyAV decode, not "
+                "installed here; use decoder='fake' or inject probe_fn"
+            )
+        self.max_frames = max_frames
+        self.probe_fn = probe_fn or _fake_probe
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, refs = batch.column("doc_id").to_pylist(), batch.column("media_ref").to_pylist()
+        o_ids, o_refs, o_idx, o_feat = [], [], [], []
+        for d, r in zip(doc_ids, refs):
+            n = min(self.max_frames, int(self.probe_fn(r or "")["n_frames"]))
+            for f in range(n):
+                o_ids.append(d)
+                o_refs.append(r)
+                o_idx.append(f)
+                o_feat.append(_fake_decode(f"{r}#frame{f}").tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(o_ids, pa.string()),
+                "media_ref": pa.array(o_refs, pa.string()),
+                "frame_idx": pa.array(o_idx, pa.int32()),
+                "frame_feature": pa.array(o_feat, pa.list_(pa.float32(), MEDIA_FEATURE_DIM)),
+            }
+        )
+
+
+def sample_frames(docs, max_frames: int = 8, concurrency=(1, 4), batch_size: int = 512):
+    """docs -> media spans -> per-frame rows (actor pool; small batches —
+    the output is a fan-out of the input)."""
+    media = extract_media_refs(docs)
+    return media.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"max_frames": max_frames},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class ResizePlanner:
+    """Actor-pool stage: media rows -> integer resize plan
+    (orig_h, orig_w, out_h, out_w) targeting a fixed height with
+    aspect-preserving integer width ((w * target) // h — exact integer
+    math, SQL-reproducible). The pixel resample itself is the gated
+    decode step; the PLAN (dims, layout, batching) is the Ray-side
+    contract a real kernel drops into."""
+
+    def __init__(self, target_h: int = 64, decoder: str = "fake", probe_fn=None):
+        if decoder not in ("fake", "real"):
+            raise ValueError(decoder)
+        if decoder == "real" and probe_fn is None:
+            raise NotImplementedError(
+                "real resize requires PIL/opencv, not installed here; "
+                "use decoder='fake' or inject probe_fn"
+            )
+        self.target_h = target_h
+        self.probe_fn = probe_fn or _fake_probe
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        metas = [self.probe_fn(r or "") for r in refs]
+        oh = pa.array([m["orig_h"] for m in metas], pa.int32())
+        ow = pa.array([m["orig_w"] for m in metas], pa.int32())
+        out_w = pa.array(
+            [(m["orig_w"] * self.target_h) // m["orig_h"] for m in metas], pa.int32()
+        )
+        out = batch.append_column("orig_h", oh).append_column("orig_w", ow)
+        out = out.append_column(
+            "out_h", pa.array([self.target_h] * batch.num_rows, pa.int32())
+        )
+        return out.append_column("out_w", out_w)
+
+
+def plan_resize(docs, target_h: int = 64, concurrency=(1, 4), batch_size: int = 1024):
+    media = extract_media_refs(docs)
+    return media.map_batches(
+        ResizePlanner,
+        fn_constructor_kwargs={"target_h": target_h},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -110,3 +110,44 @@ def test_media_dedup_pairs_planted():
         (f"d{g:03d}", f"d{i:03d}") for g in range(4) for i in range(g + 4, n, 4)
     )
     assert sorted(zip(got.left_id, got.right_id)) == expected
+
+
+def test_frame_sampler_expansion_and_gates(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.pipelines.flagship import DOCS_SCHEMA
+    from entity_matching_datasets_ray.stages.multimodal import (
+        FrameSampler,
+        ResizePlanner,
+        plan_resize,
+        sample_frames,
+    )
+
+    rows = [
+        {
+            "doc_id": f"d{i}",
+            "dataset": "t",
+            "spans": [
+                {"kind": "text", "text": "x", "media_ref": "", "offset": 0},
+                {"kind": "video", "text": "", "media_ref": f"synthetic://vid/{i}", "offset": 1},
+            ],
+        }
+        for i in range(8)
+    ]
+    docs = rd.from_arrow(pa.Table.from_pylist(rows, schema=DOCS_SCHEMA))
+    frames = sample_frames(docs).to_pandas()
+    # group g=i: 1 + (i % 4) frames each
+    assert len(frames) == sum(1 + (i % 4) for i in range(8))
+    assert set(frames.columns) == {"doc_id", "media_ref", "frame_idx", "frame_feature"}
+    assert all(len(v) == 8 for v in frames["frame_feature"])
+
+    plan = plan_resize(docs, target_h=64).to_pandas()
+    assert (plan["out_h"] == 64).all()
+    assert (plan["out_w"] == (plan["orig_w"] * 64) // plan["orig_h"]).all()
+
+    with pytest.raises(NotImplementedError):
+        FrameSampler(decoder="real")
+    with pytest.raises(NotImplementedError):
+        ResizePlanner(decoder="real")
