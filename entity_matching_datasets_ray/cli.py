@@ -155,6 +155,38 @@ def cmd_ann(args) -> int:
     return 0
 
 
+def cmd_link2(args) -> int:
+    import ray.data as rd
+
+    from .pipelines.linkage import LinkageConfig, run_linkage_two_table
+
+    a = rd.read_parquet(args.table_a)
+    b = rd.read_parquet(args.table_b)
+    cfg = LinkageConfig(threshold=args.threshold, num_partitions=args.partitions)
+    out = run_linkage_two_table(a, b, cfg, one_to_one=args.one_to_one)
+    out.write_parquet(args.output)
+    print(f"matches: {out.count()} -> {args.output}")
+    return 0
+
+
+def cmd_fuse(args) -> int:
+    import ray.data as rd
+
+    from .stages.fusion import fuse_records
+
+    ds = rd.read_parquet(args.input)
+    rules = []
+    for spec in args.rule:
+        parts = spec.split(":")
+        if len(parts) not in (3, 4):
+            raise SystemExit(f"--rule must be out:rule:col[:order_col], got {spec!r}")
+        rules.append(tuple(parts))
+    out = fuse_records(ds, args.cluster_col, rules)
+    out.write_parquet(args.output)
+    print(f"golden records: {out.count()} -> {args.output}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="entity_matching_datasets_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -222,6 +254,25 @@ def main(argv: list[str] | None = None) -> int:
     an.add_argument("--k", type=int, default=10)
     an.add_argument("--n-queries", type=int, default=5)
     an.set_defaults(fn=cmd_ann)
+
+    l2 = sub.add_parser("link2", help="two-table A x B matching -> (a_id, b_id[, score])")
+    l2.add_argument("table_a")
+    l2.add_argument("table_b")
+    l2.add_argument("output")
+    l2.add_argument("--threshold", type=float, default=0.7)
+    l2.add_argument("--partitions", type=int, default=16)
+    l2.add_argument("--one-to-one", action="store_true", help="mutual best match only")
+    l2.set_defaults(fn=cmd_link2)
+
+    fu = sub.add_parser("fuse", help="clustered rows -> one golden record per cluster")
+    fu.add_argument("input")
+    fu.add_argument("output")
+    fu.add_argument("--cluster-col", required=True)
+    fu.add_argument(
+        "--rule", action="append", required=True,
+        help="out:rule:col[:order_col] (rule: mode|longest|min|max|sum|count_distinct|min_by|max_by); repeatable",
+    )
+    fu.set_defaults(fn=cmd_fuse)
 
     args = p.parse_args(argv)
     _init_ray(args.num_cpus)

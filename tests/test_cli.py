@@ -65,3 +65,30 @@ def test_chunk_and_annotate(tmp_path):
     assert cli.main(["annotate", str(src), str(out2)]) == 0
     t2 = pq.read_table(str(out2))
     assert "lang_pred" in t2.column_names and "quality_score" in t2.column_names
+
+
+def test_fuse_cli(tmp_path):
+    rows = pa.table(
+        {
+            "k": pa.array([1, 1, 2], pa.int64()),
+            "name": ["bb", "a", "z"],
+            "price": [5.0, 2.0, 1.0],
+        }
+    )
+    src = tmp_path / "rows.parquet"
+    pq.write_table(rows, str(src))
+    out = tmp_path / "golden"
+    assert (
+        cli.main(
+            [
+                "fuse", str(src), str(out),
+                "--cluster-col", "k",
+                "--rule", "top_name:mode:name",
+                "--rule", "max_price:max:price",
+            ]
+        )
+        == 0
+    )
+    t = pq.read_table(str(out)).to_pandas().sort_values("k").reset_index(drop=True)
+    assert list(t.columns) == ["k", "n_members", "top_name", "max_price"]
+    assert t["max_price"].tolist() == [5.0, 1.0]
