@@ -857,6 +857,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_training_data": _curate_training_data,
         "approx_distinct_orders": _approx_distinct_orders,
         "order_price_quantiles_global": R.q_order_price_quantiles_global,
+        "shipping_priority": R.q_shipping_priority,
         "segment_status_pivot": R.q_segment_status_pivot,
         "part_size_unpivot": R.q_part_size_unpivot,
         "vocab_topk_documents": _vocab_topk_documents,
@@ -1308,6 +1309,23 @@ def oracle_sql() -> dict[str, str]:
             EXCEPT
             SELECT DISTINCT user_id FROM events
             ORDER BY o_custkey
+        """,
+        # TPC-H Q3-style composite: 2 joins + date filters + top-10
+        "shipping_priority": """
+            SELECT l_orderkey,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+                     / 10000.0 AS revenue,
+                   o_orderdate, o_orderpriority
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+              AND l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderdate, l_orderkey
+            LIMIT 10
         """,
         # PIVOT as conditional aggregation; column names = pivot values
         "segment_status_pivot": """

@@ -882,3 +882,60 @@ def q_part_size_unpivot(sf_dir: str):
     """UNPIVOT: part (p_size, p_retailprice) wide columns -> long rows."""
     parts = _read(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
     return unpivot(parts, "p_partkey", ["p_size", "p_retailprice"]).sort(["p_partkey", "name"])
+
+
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3-style composite: customer ⋈ orders ⋈ lineitem with date
+    predicates pushed to the batch filters, exact-cent revenue groupby,
+    global top-10 by revenue (deterministic tie-break). Exercises the
+    multi-join plan: small side (filtered customers) first, fact table
+    last, all reads column-pruned."""
+    import datetime as _dt
+
+    cutoff = _dt.datetime(1998, 6, 1)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], pa.scalar("BUILDING"))).select(
+            ["c_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]).map_batches(
+        lambda t: t.filter(pc.less(t["o_orderdate"], pa.scalar(cutoff))),
+        batch_format="pyarrow",
+    )
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]).map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                # revenue in exact 1e-4 units: cents x (100 - disc_cents)
+                "rev_u": pc.multiply(
+                    _cents(t["l_extendedprice"]),
+                    pc.subtract(pa.scalar(100, pa.int64()), _cents(t["l_discount"])),
+                ),
+            }
+        ).filter(pc.greater(t["l_shipdate"], pa.scalar(cutoff))),
+        batch_format="pyarrow",
+    )
+    co = orders.join(cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",))
+    col = li.join(
+        co.select_columns(["o_orderkey", "o_orderdate", "o_orderpriority"]),
+        join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    agg = col.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"]).aggregate(
+        Sum("rev_u", alias_name="rev_u")
+    )
+    out = agg.map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "revenue": _div_f64(t["rev_u"], 10000.0),
+                "o_orderdate": t["o_orderdate"],
+                "o_orderpriority": t["o_orderpriority"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return out.sort(
+        ["revenue", "o_orderdate", "l_orderkey"], descending=[True, False, False]
+    ).limit(10)
