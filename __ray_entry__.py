@@ -772,7 +772,16 @@ def _linkage_two_table_planted(sf_dir: str):
     docs_b = planted_linkage_docs(ids, copies=1, first_copy=1).union(
         planted_linkage_docs(off, copies=1, first_copy=0)
     )
-    matches = run_linkage_two_table(docs_a, docs_b, LinkageConfig(num_partitions=8))
+    # size the plan to the session (results are plan-independent — the
+    # oracle checks that); the driver runs this at unknown width
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", 8))
+    cfg = LinkageConfig(
+        num_partitions=min(32, max(8, cpus)),
+        scorer_concurrency=(1, max(4, cpus // 2)),
+    )
+    matches = run_linkage_two_table(docs_a, docs_b, cfg)
     return matches.select_columns(["a_id", "b_id"]).sort(["a_id", "b_id"])
 
 
