@@ -241,28 +241,41 @@ def q_customer_order_stats(sf_dir: str):
     return out.sort("n_orders")
 
 
-def q_top_orders_per_segment(sf_dir: str):
-    """Top-k per group: 3 highest-value orders per market segment.
-
-    groupby(segment).map_groups with a per-group sort+head — the grouped
-    top-k pattern (per-group state never leaves its partition).
-    """
+def grouped_topk(ds, key_cols: list[str], sort_cols: list[str], ascending: list[bool], k: int):
+    """Scale-safe grouped top-k: per-BATCH partial top-k (top-k is a
+    semigroup — the global top-k per key is contained in the union of
+    per-batch top-ks), then the final per-key selection runs over
+    <= k x num_batches rows per key. No whole-key pandas group ever forms,
+    so a low-cardinality key (the r02 lag lesson) costs nothing."""
     import pandas as pd
 
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(sort_cols, ascending=ascending, kind="mergesort")
+        return df.groupby(key_cols, sort=False).head(k)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(sort_cols, ascending=ascending, kind="mergesort")
+        return df.groupby(key_cols, sort=False).head(k)
+
+    pruned = ds.map_batches(partial, batch_format="pandas")
+    return pruned.groupby(key_cols).map_groups(final, batch_format="pandas")
+
+
+def q_top_orders_per_segment(sf_dir: str):
+    """Top-k per group: 3 highest-value orders per market segment — the
+    scale-safe partial-top-k plan (see ``grouped_topk``)."""
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     j = orders.join(
         cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
     )
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(3)
-        return out[["c_mktsegment", "o_orderkey", "o_totalprice"]]
-
-    return (
-        j.groupby("c_mktsegment")
-        .map_groups(topk, batch_format="pandas")
-        .sort(["c_mktsegment", "o_totalprice", "o_orderkey"], descending=[False, True, False])
+    top = grouped_topk(
+        j.select_columns(["c_mktsegment", "o_orderkey", "o_totalprice"]),
+        ["c_mktsegment"], ["o_totalprice", "o_orderkey"], [False, True], 3,
+    )
+    return top.sort(
+        ["c_mktsegment", "o_totalprice", "o_orderkey"], descending=[False, True, False]
     )
 
 
@@ -710,7 +723,7 @@ def grouped_collect(
 
     def bucket_of(df: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_pandas_object(
-            df[key_cols[0]] if len(key_cols) == 1 else df[key_cols].apply(tuple, axis=1),
+            df[key_cols[0]] if len(key_cols) == 1 else df[key_cols],
             index=False,
         )
         df = df.copy()
@@ -743,12 +756,9 @@ def q_priority_order_lists(sf_dir: str):
     import pandas as pd
 
     orders = _read(sf_dir, "orders", ["o_orderpriority", "o_orderkey", "o_totalprice"])
-
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(20)
-        return g[["o_orderpriority", "o_orderkey"]]
-
-    top = orders.groupby("o_orderpriority").map_groups(topk, batch_format="pandas")
+    top = grouped_topk(
+        orders, ["o_orderpriority"], ["o_totalprice", "o_orderkey"], [False, True], 20
+    ).select_columns(["o_orderpriority", "o_orderkey"])
     return grouped_collect(top, ["o_orderpriority"], "o_orderkey", out_col="order_keys").sort(
         "o_orderpriority"
     )

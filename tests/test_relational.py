@@ -112,3 +112,52 @@ def test_global_quantiles_matches_numpy(ray_session):
     for _, row in got.iterrows():
         want = sv[max(0, math.ceil(row["q"] * len(sv)) - 1)]
         assert row["v"] == want, (row["q"], row["v"], want)
+
+
+def test_grouped_topk_matches_brute_force(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.pipelines.relational import grouped_topk
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, 4000),   # LOW-cardinality key on purpose
+            "id": np.arange(4000, dtype=np.int64),
+            "v": np.round(rng.uniform(0, 100, 4000), 2),
+        }
+    )
+    got = (
+        grouped_topk(rd.from_pandas(df).repartition(11), ["k"], ["v", "id"], [False, True], 5)
+        .to_pandas()
+        .sort_values(["k", "v", "id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["v", "id"], ascending=[False, True])
+        .groupby("k", sort=False)
+        .head(5)
+        .sort_values(["k", "v", "id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_grouped_collect_multi_key(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.pipelines.relational import grouped_collect
+
+    df = pd.DataFrame(
+        {"a": ["x", "x", "y"], "b": [1, 1, 2], "v": [3, 1, 9]}
+    )
+    got = (
+        grouped_collect(rd.from_pandas(df).repartition(2), ["a", "b"], "v", num_buckets=4)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert list(got["items"]) == ["1,3", "9"]
