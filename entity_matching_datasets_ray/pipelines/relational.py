@@ -406,7 +406,9 @@ def q_segment_price_quantiles(sf_dir: str):
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     j = orders.join(cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",))
-    return grouped_quantiles(j, ["c_mktsegment"], "o_totalprice").sort("c_mktsegment")
+    # the sorted (no-whole-key-group) path: c_mktsegment has 5 values, the
+    # exact case where a per-key pandas group cannot scale
+    return grouped_quantiles_sorted(j, "c_mktsegment", "o_totalprice").sort("c_mktsegment")
 
 
 def q_segment_price_quantiles_cont(sf_dir: str):
@@ -949,3 +951,91 @@ def q_shipping_priority(sf_dir: str):
     return out.sort(
         ["revenue", "o_orderdate", "l_orderkey"], descending=[True, False, False]
     ).limit(10)
+
+
+def grouped_quantiles_sorted(
+    ds,
+    key_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9),
+):
+    """EXACT per-group discrete quantiles with NO whole-key group — the
+    scale path for low-cardinality keys (the partition-fits caveat on
+    ``grouped_quantiles`` is real: 5 segments over 10^12 rows is five
+    impossible pandas groups).
+
+    Mechanics (the ``global_quantiles`` pattern, keyed): one global sort
+    on (key, value); per-block (key, count) summaries — a few rows per
+    block — locate each group's quantile positions; one tiny task per hit
+    block fetches the selected rows. Output matches ``grouped_quantiles``
+    (key, p50, ..., n_rows), quantile_disc semantics, bit-identical
+    passthrough values.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    import ray
+    from ray.data.block import BlockAccessor
+
+    s = ds.select_columns([key_col, value_col]).sort([key_col, value_col]).materialize()
+    refs = []
+    for bundle in s.iter_internal_ref_bundles():
+        refs.extend(bundle.block_refs)
+
+    @ray.remote
+    def _summary(block):
+        df = BlockAccessor.for_block(block).to_pandas()
+        if len(df) == 0:
+            return []
+        df = df.sort_values([key_col, value_col], kind="mergesort")
+        g = df.groupby(key_col, sort=True).size()
+        return list(zip(g.index.tolist(), g.to_numpy().tolist()))
+
+    summaries = ray.get([_summary.remote(r) for r in refs])
+    # per key: count seen before each block (blocks are in global order)
+    running: dict = {}
+    before: list[dict] = []
+    for summ in summaries:
+        b_off = {}
+        for k, n in summ:
+            b_off[k] = running.get(k, 0)
+            running[k] = running[k] + n if k in running else n
+        before.append(b_off)
+    # quantile targets per key -> (block, local position inside the
+    # block's key segment)
+    picks: dict[int, list] = {}
+    for bi, summ in enumerate(summaries):
+        for k, n in summ:
+            off = before[bi][k]
+            total = running[k]
+            for q in qs:
+                pos = max(0, math.ceil(q * total) - 1)
+                if off <= pos < off + n:
+                    picks.setdefault(bi, []).append((k, q, pos - off))
+
+    @ray.remote
+    def _pick(block, items):
+        df = BlockAccessor.for_block(block).to_pandas()
+        df = df.sort_values([key_col, value_col], kind="mergesort").reset_index(drop=True)
+        starts = df.groupby(key_col, sort=False).cumcount()
+        out = []
+        for k, q, local in items:
+            seg = df.index[(df[key_col] == k) & (starts == local)]
+            out.append((k, q, df[value_col].iloc[seg[0]]))
+        return out
+
+    got = ray.get([_pick.remote(refs[b], items) for b, items in picks.items()])
+    rows: dict = {}
+    for part in got:
+        for k, q, v in part:
+            rows.setdefault(k, {})[f"p{round(q * 100):02d}"] = v
+    out = pd.DataFrame(
+        [
+            {key_col: k, **vals, "n_rows": np.int64(running[k])}
+            for k, vals in sorted(rows.items())
+        ]
+    )
+    cols = [key_col] + [f"p{round(q * 100):02d}" for q in qs] + ["n_rows"]
+    return ray.data.from_pandas(out[cols])

@@ -161,3 +161,33 @@ def test_grouped_collect_multi_key(ray_session):
         .reset_index(drop=True)
     )
     assert list(got["items"]) == ["1,3", "9"]
+
+
+def test_grouped_quantiles_sorted_equals_in_memory(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.pipelines.relational import (
+        grouped_quantiles,
+        grouped_quantiles_sorted,
+    )
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], 3000),  # low-cardinality key
+            "v": np.round(rng.uniform(0, 500, 3000), 2),
+        }
+    )
+    for parts in (3, 17):
+        ds = rd.from_pandas(df).repartition(parts)
+        a = (
+            grouped_quantiles(ds, ["k"], "v", (0.1, 0.5, 0.9))
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        b = (
+            grouped_quantiles_sorted(ds, "k", "v", (0.1, 0.5, 0.9))
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a[b.columns], b)
