@@ -417,7 +417,7 @@ def q_segment_price_quantiles_cont(sf_dir: str):
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     j = orders.join(cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",))
-    return grouped_quantiles(j, ["c_mktsegment"], "o_totalprice", method="cont").sort("c_mktsegment")
+    return grouped_quantiles_sorted(j, "c_mktsegment", "o_totalprice", method="cont").sort("c_mktsegment")
 
 
 def q_orders_rollup(sf_dir: str):
@@ -958,6 +958,7 @@ def grouped_quantiles_sorted(
     key_col: str,
     value_col: str,
     qs: tuple[float, ...] = (0.5, 0.9),
+    method: str = "disc",
 ):
     """EXACT per-group discrete quantiles with NO whole-key group — the
     scale path for low-cardinality keys (the partition-fits caveat on
@@ -1005,15 +1006,26 @@ def grouped_quantiles_sorted(
         before.append(b_off)
     # quantile targets per key -> (block, local position inside the
     # block's key segment)
+    if method not in ("disc", "cont"):
+        raise ValueError(method)
+    # disc: one position per quantile; cont: the floor/ceil bracket of
+    # q*(n-1), interpolated on the driver with the DuckDB-bit-identical
+    # lo*(1-frac)+hi*frac form
+    def positions(total: int, q: float) -> list[tuple[str, int]]:
+        if method == "disc":
+            return [("v", max(0, math.ceil(q * total) - 1))]
+        pos = q * (total - 1)
+        return [("lo", int(math.floor(pos))), ("hi", int(math.ceil(pos)))]
+
     picks: dict[int, list] = {}
     for bi, summ in enumerate(summaries):
         for k, n in summ:
             off = before[bi][k]
             total = running[k]
             for q in qs:
-                pos = max(0, math.ceil(q * total) - 1)
-                if off <= pos < off + n:
-                    picks.setdefault(bi, []).append((k, q, pos - off))
+                for role, pos in positions(total, q):
+                    if off <= pos < off + n:
+                        picks.setdefault(bi, []).append((k, q, role, pos - off))
 
     @ray.remote
     def _pick(block, items):
@@ -1021,16 +1033,25 @@ def grouped_quantiles_sorted(
         df = df.sort_values([key_col, value_col], kind="mergesort").reset_index(drop=True)
         starts = df.groupby(key_col, sort=False).cumcount()
         out = []
-        for k, q, local in items:
+        for k, q, role, local in items:
             seg = df.index[(df[key_col] == k) & (starts == local)]
-            out.append((k, q, df[value_col].iloc[seg[0]]))
+            out.append((k, q, role, df[value_col].iloc[seg[0]]))
         return out
 
     got = ray.get([_pick.remote(refs[b], items) for b, items in picks.items()])
-    rows: dict = {}
+    brackets: dict = {}
     for part in got:
-        for k, q, v in part:
-            rows.setdefault(k, {})[f"p{round(q * 100):02d}"] = v
+        for k, q, role, v in part:
+            brackets.setdefault((k, q), {})[role] = v
+    rows: dict = {}
+    for (k, q), vals in brackets.items():
+        if method == "disc":
+            v = vals["v"]
+        else:
+            pos = q * (running[k] - 1)
+            frac = pos - math.floor(pos)
+            v = vals["lo"] * (1 - frac) + vals["hi"] * frac
+        rows.setdefault(k, {})[f"p{round(q * 100):02d}"] = v
     out = pd.DataFrame(
         [
             {key_col: k, **vals, "n_rows": np.int64(running[k])}

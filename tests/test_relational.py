@@ -191,3 +191,12 @@ def test_grouped_quantiles_sorted_equals_in_memory(ray_session):
             .to_pandas().sort_values("k").reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(a[b.columns], b)
+        ac = (
+            grouped_quantiles(ds, ["k"], "v", (0.1, 0.5, 0.9), method="cont")
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        bc = (
+            grouped_quantiles_sorted(ds, "k", "v", (0.1, 0.5, 0.9), method="cont")
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(ac[bc.columns], bc)
