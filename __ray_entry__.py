@@ -857,6 +857,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_filter_project": R.q_lineitem_filter_project,
         "top_orders_per_segment": R.q_top_orders_per_segment,
         "customers_without_orders": R.q_customers_without_orders,
+        "customers_with_orders": R.q_customers_with_orders,
         "segment_price_quantiles": R.q_segment_price_quantiles,
         "orders_rollup": R.q_orders_rollup,
         "segment_price_quantiles_cont": R.q_segment_price_quantiles_cont,
@@ -1203,6 +1204,11 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
             ORDER BY c_mktsegment
+        """,
+        "customers_with_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+            ORDER BY c_custkey
         """,
         "customers_without_orders": """
             SELECT c_custkey, c_name

@@ -286,12 +286,32 @@ ANTI_BROADCAST_MAX_KEYS = 1_000_000
 
 
 def anti_join(left, right_keys, on: str, right_on: str, max_broadcast_keys: int = ANTI_BROADCAST_MAX_KEYS, num_partitions: int = 8):
-    """left rows whose ``on`` value appears nowhere in ``right_keys``.
+    """left rows whose ``on`` value appears nowhere in ``right_keys``
+    (SQL NOT EXISTS). See ``_membership_join`` for the adaptive plan."""
+    return _membership_join(
+        left, right_keys, on, right_on, keep=False,
+        max_broadcast_keys=max_broadcast_keys, num_partitions=num_partitions,
+    )
+
+
+def semi_join(left, right_keys, on: str, right_on: str, max_broadcast_keys: int = ANTI_BROADCAST_MAX_KEYS, num_partitions: int = 8):
+    """left rows whose ``on`` value appears in ``right_keys`` (SQL EXISTS
+    — full left rows, never duplicated by right multiplicity)."""
+    return _membership_join(
+        left, right_keys, on, right_on, keep=True,
+        max_broadcast_keys=max_broadcast_keys, num_partitions=num_partitions,
+    )
+
+
+def _membership_join(left, right_keys, on: str, right_on: str, keep: bool,
+                     max_broadcast_keys: int, num_partitions: int):
+    """Shared semi/anti plan.
 
     Adaptive: collect + broadcast the key set when it is small (zero
-    shuffle); fall back to a partitioned left-outer join + null filter when
-    the collected set would blow the driver/worker heap. The guard is a
-    hard count on the collected set, not a heuristic.
+    shuffle; vectorized ``pc.is_in``); fall back to a partitioned
+    left-outer join against the DISTINCT right keys + null filter when the
+    collected set would blow the driver/worker heap. The guard is a hard
+    count on the collected set, not a heuristic.
     """
     import ray
 
@@ -306,31 +326,35 @@ def anti_join(left, right_keys, on: str, right_on: str, max_broadcast_keys: int 
     if broadcast_ok:
         keys_ref = ray.put(list(keys))
 
-        class AntiFilter:
+        class MemberFilter:
             def __init__(self):
                 # value-set for pc.is_in: fully vectorized membership test
                 self.keys = pa.array(ray.get(keys_ref))
 
             def __call__(self, t: pa.Table) -> pa.Table:
                 if len(self.keys) == 0:
-                    return t
-                mask = pc.invert(
-                    pc.is_in(pc.cast(t[on], self.keys.type), value_set=self.keys)
-                )
+                    return t.slice(0, 0) if keep else t
+                mask = pc.is_in(pc.cast(t[on], self.keys.type), value_set=self.keys)
+                if not keep:
+                    mask = pc.invert(mask)
                 return t.filter(mask)
 
-        return left.map_batches(AntiFilter, batch_format="pyarrow", concurrency=(1, 2))
+        return left.map_batches(MemberFilter, batch_format="pyarrow", concurrency=(1, 2))
 
-    # shuffle path: distinct right keys -> left_outer join -> keep nulls
+    # shuffle path: distinct right keys -> left_outer join -> null filter
     from ray.data.aggregate import Count as _Count
 
-    marker = "__anti_marker"
+    marker = "__member_marker"
     distinct = right_keys.groupby(right_on, num_partitions=num_partitions).aggregate(
         _Count(alias_name=marker)
     )
     # the hash-aggregate widens int keys; re-cast to the left side's dtype
     # so the join keys line up (learned gotcha: int32/int64 mismatch).
-    left_type = left.schema().base_schema.field(on).type
+    base = left.schema().base_schema
+    if hasattr(base, "field"):  # pyarrow schema
+        left_type = base.field(on).type
+    else:  # PandasBlockSchema (from_pandas inputs): names + numpy dtypes
+        left_type = pa.from_numpy_dtype(dict(zip(base.names, base.types))[on])
     distinct = distinct.map_batches(
         lambda t: t.set_column(
             t.schema.get_field_index(right_on), right_on, pc.cast(t[right_on], left_type)
@@ -341,8 +365,9 @@ def anti_join(left, right_keys, on: str, right_on: str, max_broadcast_keys: int 
         distinct, join_type="left_outer", num_partitions=num_partitions,
         on=(on,), right_on=(right_on,),
     )
+    pred = pc.is_valid if keep else pc.is_null
     return joined.map_batches(
-        lambda t: t.filter(pc.is_null(t[marker])).drop_columns([marker]),
+        lambda t: t.filter(pred(t[marker])).drop_columns([marker]),
         batch_format="pyarrow",
     )
 
@@ -476,6 +501,14 @@ def q_orders_rollup(sf_dir: str):
     # no final sort: Ray's sort can't order NULL rollup levels, and the
     # correctness compare is order-insensitive (rows sorted by the harness)
     return out
+
+
+def q_customers_with_orders(sf_dir: str):
+    """Semi-join (EXISTS): full customer rows having at least one order —
+    never duplicated by order multiplicity."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    return semi_join(cust, orders, on="c_custkey", right_on="o_custkey").sort("c_custkey")
 
 
 def q_customers_without_orders(sf_dir: str):

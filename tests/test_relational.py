@@ -200,3 +200,20 @@ def test_grouped_quantiles_sorted_equals_in_memory(ray_session):
             .to_pandas().sort_values("k").reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(ac[bc.columns], bc)
+
+
+def test_semi_join_both_paths(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.pipelines.relational import semi_join
+
+    left = rd.from_pandas(pd.DataFrame({"k": [1, 2, 3, 4], "x": ["a", "b", "c", "d"]}))
+    right = rd.from_pandas(pd.DataFrame({"rk": [2, 2, 4, 9]}))  # dup right keys
+    for cap in (1000, 1):  # broadcast path, then forced shuffle path
+        out = (
+            semi_join(left, right, on="k", right_on="rk", max_broadcast_keys=cap)
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        assert list(out["k"]) == [2, 4]          # never duplicated
+        assert list(out.columns) == ["k", "x"]   # full left rows
