@@ -843,6 +843,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag": R.q_events_lag,
         "events_asof": R.q_events_asof,
         "events_row_number": R.q_events_row_number,
+        "events_rank_features": R.q_events_rank_features,
         "sessionize_events": _sessionize_events,
         "jaccard_join_documents": _jaccard_join_documents,
         "interval_join_events": _interval_join_events,
@@ -978,6 +979,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, ts,
                    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn
             FROM events
+            ORDER BY event_id
+        """,
+        "events_rank_features": """
+            SELECT event_id, user_id, ts,
+                   CAST(row_number() OVER w AS BIGINT) AS rn,
+                   percent_rank() OVER w AS percent_rank,
+                   CAST(ntile(4) OVER w AS BIGINT) AS tile
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ORDER BY event_id
         """,
         "events_asof": """

@@ -555,6 +555,14 @@ def q_events_row_number(sf_dir: str):
     return row_number_partitioned(ds, "user_id", "ts", "event_id").sort("event_id")
 
 
+def q_events_rank_features(sf_dir: str):
+    """percent_rank + ntile(4) per user over (ts, event_id) order."""
+    from ..stages.windows import rank_features
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return rank_features(ds, "user_id", "ts", "event_id", ntile_k=4).sort("event_id")
+
+
 def q_events_asof(sf_dir: str):
     """Distributed as-of join: every purchase event gets the latest click
     event at-or-before its timestamp (stages/windows.py::asof_join —

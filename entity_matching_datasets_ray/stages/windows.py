@@ -661,3 +661,51 @@ def row_number_partitioned(
         return out
 
     return s.map_batches(number, batch_format="pandas", batch_size=None)
+
+
+def rank_features(
+    ds,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    ntile_k: int = 4,
+    num_partitions: int | None = None,
+):
+    """percent_rank() and ntile(k) OVER (PARTITION BY key ORDER BY ts, id)
+    — composed from ``row_number_partitioned`` (global sort + per-block
+    count carry) plus one per-key count aggregate joined back on the key.
+
+    Formulas match SQL exactly: percent_rank = (rn-1)/(n-1) (0.0 when
+    n == 1), ntile bucket = smallest valid SQL tile assignment, computed
+    with the standard remainder rule (first ``n % k`` tiles get
+    ``ceil(n/k)`` rows) — integer math both sides.
+    """
+    from ray.data.aggregate import Count
+
+    rn = row_number_partitioned(ds, key_col, ts_col, id_col, num_partitions=num_partitions)
+    counts = ds.groupby(key_col).aggregate(Count(alias_name="__n"))
+    joined = rn.join(
+        counts, join_type="inner", num_partitions=num_partitions or 8,
+        on=(key_col,), right_on=(key_col,),
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["__n"].to_numpy(dtype=np.int64)
+        r = df["rn"].to_numpy(dtype=np.int64)
+        pr = np.where(n > 1, (r - 1) / np.maximum(1, n - 1), 0.0)
+        big = n % ntile_k               # first `big` tiles are one row larger
+        size_big = -(-n // ntile_k)     # ceil(n/k)
+        size_small = n // ntile_k
+        cut = big * size_big            # rows covered by the larger tiles
+        in_big = (r - 1) < cut
+        tile = np.where(
+            in_big,
+            (r - 1) // np.maximum(1, size_big) + 1,
+            big + (r - 1 - cut) // np.maximum(1, size_small) + 1,
+        ).astype("int64")
+        out = df[[id_col, key_col, ts_col, "rn"]].copy()
+        out["percent_rank"] = pr
+        out["tile"] = tile
+        return out
+
+    return joined.map_batches(finalize, batch_format="pandas")

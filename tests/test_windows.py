@@ -370,3 +370,42 @@ def test_row_number_single_hot_key_spanning_many_partitions():
     bf["rn"] = np.arange(1, n + 1)
     bf = bf.sort_values("event_id").reset_index(drop=True)
     assert (out["rn"].to_numpy() == bf["rn"].to_numpy()).all()
+
+
+def test_rank_features_matches_pandas():
+    """percent_rank + ntile(k) == pandas rank/qcut-free brute force."""
+    from entity_matching_datasets_ray.stages.windows import rank_features
+
+    rng = np.random.RandomState(17)
+    n = 1200
+    df = pd.DataFrame(
+        {
+            "event_id": rng.permutation(n).astype(np.int64),
+            "user_id": rng.randint(0, 30, n).astype(np.int64),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.choice(10**6, n, replace=False), unit="s"),
+        }
+    )
+    got = (
+        rank_features(rd.from_pandas(df).repartition(7), "user_id", "ts", "event_id", ntile_k=4)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    bf = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    bf["rn"] = bf.groupby("user_id").cumcount() + 1
+    bf["n"] = bf.groupby("user_id")["rn"].transform("max")
+    bf["percent_rank"] = np.where(bf["n"] > 1, (bf["rn"] - 1) / (bf["n"] - 1), 0.0)
+
+    def sql_ntile(rn, n, k=4):
+        big, size_big, size_small = n % k, -(-n // k), n // k
+        cut = big * size_big
+        if rn - 1 < cut:
+            return (rn - 1) // size_big + 1
+        return big + (rn - 1 - cut) // size_small + 1
+
+    bf["tile"] = [sql_ntile(r, c) for r, c in zip(bf["rn"], bf["n"])]
+    bf = bf.sort_values("event_id").reset_index(drop=True)
+    assert (got["rn"].to_numpy() == bf["rn"].to_numpy()).all()
+    assert np.allclose(got["percent_rank"].to_numpy(), bf["percent_rank"].to_numpy())
+    assert (got["tile"].to_numpy() == bf["tile"].to_numpy()).all()
