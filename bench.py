@@ -77,7 +77,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         docs = rd.read_parquet(corpus_path)
     else:
         docs = synth_docs_dataset(n_ent, parallelism=num_cpus * 2)
-    scorer_hi = max(2, num_cpus - 4)
+    # Pool width: since the LSH-collision pre-rank (r3) the default plan
+    # scores ~700k pairs, where a half-width pool wins (measured best-of-2
+    # at 32 CPUs: hi=14 -> 30.1 s vs hi=28 -> 41.8 s — less spin-up, more
+    # CPUs left for the blocking shuffle). Scaling legs run the UNPRUNED
+    # plan (9x the pairs), where the wide pool still pays off.
+    scorer_hi = max(2, num_cpus - 4) if corpus_path else max(2, num_cpus // 2 - 2)
     cfg = LinkageConfig(
         num_partitions=num_cpus,
         # leave a few CPUs for the shuffle aggregators + filter/write tasks;
