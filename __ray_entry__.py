@@ -736,6 +736,29 @@ def _curate_training_data(sf_dir: str):
     return out.select_columns(["doc_id", "lang_pred", "split"]).sort("doc_id")
 
 
+def _decontaminate_documents(sf_dir: str):
+    """Benchmark decontamination (GPT-3-style 8-gram overlap): flag
+    corpus docs sharing any distinct token 8-gram with the benchmark set
+    (here: docs with doc_id % 50 == 0, so the oracle can rebuild the same
+    benchmark in SQL). Zero shuffle: benchmark shingle hashes broadcast
+    once, corpus streams through one vectorized membership pass."""
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.stages.text_analysis import flag_contaminated
+
+    import numpy as np
+    import pyarrow as pa
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def bench_filter(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 50 == 0))
+
+    bench = docs.map_batches(bench_filter, batch_format="pyarrow")
+    return flag_contaminated(docs, bench, ngram=8).sort("doc_id")
+
+
 def _vocab_topk_documents(sf_dir: str):
     """Distributed heavy hitters: global top-50 tokens over the documents
     corpus (per-batch partial counts -> token groupby -> lossless local
@@ -872,6 +895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_status_pivot": R.q_segment_status_pivot,
         "part_size_unpivot": R.q_part_size_unpivot,
         "vocab_topk_documents": _vocab_topk_documents,
+        "decontaminate_documents": _decontaminate_documents,
         "users_also_customers": R.q_users_also_customers,
         "customers_never_active": R.q_customers_never_active,
         "exact_dedup_documents": _exact_dedup_documents,
@@ -1458,6 +1482,29 @@ def oracle_sql() -> dict[str, str]:
             FROM hashed
             WHERE h2 < 500000
             ORDER BY doc_id
+        """,
+        # decontamination: distinct shared 8-grams vs the id-derivable
+        # benchmark subset (string shingles in SQL == hash64 shingles in
+        # the engine — collision-free at this scale, same assumption as
+        # fingerprint_dedup)
+        "decontaminate_documents": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk
+              FROM documents
+            ),
+            dsh AS (
+              SELECT DISTINCT doc_id, s FROM (
+                SELECT doc_id, unnest(list_transform(range(1, len(tk) - 6),
+                                      i -> array_to_string(tk[i:i+7], ' '))) AS s
+                FROM toks WHERE len(tk) >= 8
+              )
+            ),
+            bench AS (SELECT DISTINCT s FROM dsh WHERE doc_id % 50 = 0)
+            SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+            FROM dsh d JOIN bench b USING (s)
+            GROUP BY d.doc_id
+            ORDER BY d.doc_id
         """,
         # heavy hitters: identical whitespace tokenization on both sides
         "vocab_topk_documents": """

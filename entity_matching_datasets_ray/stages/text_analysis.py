@@ -215,3 +215,80 @@ def vocab_topk(ds, text_col: str = "text", k: int = 50, lowercase: bool = True):
         .sort(["cnt", "token"], descending=[True, False])
         .limit(k)
     )
+
+
+def flag_contaminated(
+    ds,
+    benchmark,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 8,
+    min_hits: int = 1,
+    max_benchmark_shingles: int = 50_000_000,
+):
+    """Benchmark decontamination: flag corpus documents sharing at least
+    ``min_hits`` distinct token ``ngram``-grams with a benchmark set (the
+    standard pretraining-hygiene pass — GPT-3-style 8-gram overlap).
+
+    Scale shape: the benchmark side is the SMALL side by construction
+    (eval sets are thousands of docs, the corpus is the 100 TB side) —
+    its distinct shingle hashes are collected once, guarded by a hard
+    count, and broadcast via ``ray.put``; the corpus then streams through
+    one vectorized ``map_batches`` membership test (numpy ``isin`` on
+    uint64 hashes). No shuffle at all.
+
+    Returns (id, n_contaminated) for flagged docs — distinct doc shingles
+    found in the benchmark set, SQL-reproducible (whitespace lowercase
+    tokens, space-joined n-grams).
+    """
+    import numpy as np
+    import ray
+
+    from ..functions.hashing import hash64
+
+    def shingle_hashes(text: str) -> set:
+        toks = (text or "").lower().split()
+        if len(toks) < ngram:
+            return set()
+        return {hash64(" ".join(toks[i : i + ngram])) for i in range(len(toks) - ngram + 1)}
+
+    bench_hashes: set = set()
+    for b in benchmark.select_columns([text_col]).iter_batches(
+        batch_size=4096, batch_format="pyarrow"
+    ):
+        for s in b[text_col].to_pylist():
+            bench_hashes.update(shingle_hashes(s))
+        if len(bench_hashes) > max_benchmark_shingles:
+            raise ValueError(
+                f"benchmark shingle set exceeds {max_benchmark_shingles}; "
+                "decontamination assumes a small benchmark side"
+            )
+    bench_arr = np.fromiter(bench_hashes, dtype=np.uint64, count=len(bench_hashes))
+    bench_arr.sort()
+    bench_ref = ray.put(bench_arr)
+
+    def flag(t: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        ids = t.column(id_col).to_pylist()
+        texts = t.column(text_col).to_pylist()
+        out_ids, out_hits = [], []
+        for i, s in zip(ids, texts):
+            hs = shingle_hashes(s)
+            if not hs:
+                continue
+            arr = np.fromiter(hs, dtype=np.uint64, count=len(hs))
+            # sorted-array membership: searchsorted hit check
+            pos = np.searchsorted(bench, arr)
+            pos = np.clip(pos, 0, len(bench) - 1) if len(bench) else pos
+            hits = int((bench[pos] == arr).sum()) if len(bench) else 0
+            if hits >= min_hits:
+                out_ids.append(i)
+                out_hits.append(hits)
+        return pa.table(
+            {
+                id_col: pa.array(out_ids, t.schema.field(id_col).type),
+                "n_contaminated": pa.array(out_hits, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow")

@@ -128,3 +128,33 @@ def test_quality_filter():
     out = quality_filter(ds, min_quality=0.5, langs=("en",)).to_pandas()
     assert out["doc_id"].tolist() == [1]
     assert out["lang_pred"].tolist() == ["en"]
+
+
+def test_flag_contaminated(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.stages.text_analysis import flag_contaminated
+
+    bench_text = "the quick brown fox jumps over the lazy dog tonight"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                bench_text,                                   # exact benchmark doc
+                "prefix words " + bench_text + " suffix",    # contains it -> shares 8-grams
+                "completely unrelated text with many distinct words here today",
+                "short text",                                 # < 8 tokens -> never flagged
+            ],
+        }
+    )
+    ds = rd.from_pandas(docs).repartition(2)
+    bench = rd.from_pandas(docs[docs.doc_id == 1][["doc_id", "text"]])
+    out = flag_contaminated(ds, bench, ngram=8).to_pandas().sort_values("doc_id")
+    assert list(out["doc_id"]) == [1, 2]
+    assert out["n_contaminated"].iloc[0] == 3  # 10 tokens -> 3 distinct 8-grams
+    assert out["n_contaminated"].iloc[1] == 3  # all benchmark 8-grams present
+
+    with pytest.raises(ValueError):
+        flag_contaminated(ds, bench, ngram=8, max_benchmark_shingles=1)
