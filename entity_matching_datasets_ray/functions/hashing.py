@@ -120,3 +120,14 @@ def simhash64(hashes: np.ndarray, weights: np.ndarray | None = None) -> int:
 
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
+
+
+def pandas_bucket(obj, num_buckets: int) -> np.ndarray:
+    """Deterministic int32 bucket ids for a pandas Series OR DataFrame
+    (multi-key: one combined row hash) — the shared two-level-grouping
+    hash used by fusion / grouped_collect / mutual-best. Vectorized
+    (``pd.util.hash_pandas_object``; stable cross-process)."""
+    import pandas as pd
+
+    h = pd.util.hash_pandas_object(obj, index=False)
+    return (h.to_numpy(dtype=np.uint64) % np.uint64(num_buckets)).astype(np.int32)

@@ -334,7 +334,8 @@ def run_linkage_two_table(
     symmetric-best heuristic): best-per-A and best-per-B tables (ties ->
     higher score, then smaller partner id) are computed with two tiny
     grouped reductions and intersected via a count-2 groupby — no driver
-    materialization.
+    materialization. NOTE: the one_to_one result carries (a_id, b_id)
+    only — the intersection groupby consumes the score column.
     """
     import pyarrow as _pa
     import pyarrow.compute as _pc
@@ -427,9 +428,10 @@ def run_linkage_two_table(
         other = "b_id" if key == "a_id" else "a_id"
 
         def bucket_of(df: pd.DataFrame) -> pd.DataFrame:
-            h = pd.util.hash_pandas_object(df[key], index=False)
+            from ..functions.hashing import pandas_bucket
+
             df = df.copy()
-            df["__bucket"] = (h.to_numpy(dtype=np.uint64) % np.uint64(64)).astype(np.int32)
+            df["__bucket"] = pandas_bucket(df[key], 64)
             return df
 
         def pick(df: pd.DataFrame) -> pd.DataFrame:

@@ -354,7 +354,9 @@ def _membership_join(left, right_keys, on: str, right_on: str, keep: bool,
     if hasattr(base, "field"):  # pyarrow schema
         left_type = base.field(on).type
     else:  # PandasBlockSchema (from_pandas inputs): names + numpy dtypes
-        left_type = pa.from_numpy_dtype(dict(zip(base.names, base.types))[on])
+        np_dtype = dict(zip(base.names, base.types))[on]
+        # object dtype = pandas strings; from_numpy_dtype can't map it
+        left_type = pa.string() if np_dtype == object else pa.from_numpy_dtype(np_dtype)
     distinct = distinct.map_batches(
         lambda t: t.set_column(
             t.schema.get_field_index(right_on), right_on, pc.cast(t[right_on], left_type)
@@ -765,12 +767,12 @@ def grouped_collect(
     import pandas as pd
 
     def bucket_of(df: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(
-            df[key_cols[0]] if len(key_cols) == 1 else df[key_cols],
-            index=False,
-        )
+        from ..functions.hashing import pandas_bucket
+
         df = df.copy()
-        df["__bucket"] = (h.to_numpy(dtype=np.uint64) % np.uint64(num_buckets)).astype(np.int32)
+        df["__bucket"] = pandas_bucket(
+            df[key_cols[0]] if len(key_cols) == 1 else df[key_cols], num_buckets
+        )
         return df
 
     def collect(df: pd.DataFrame) -> pd.DataFrame:
@@ -1079,6 +1081,12 @@ def grouped_quantiles_sorted(
             out.append((k, q, role, df[value_col].iloc[seg[0]]))
         return out
 
+    pcols = [f"p{round(q * 100):02d}" for q in qs]
+    if not running:  # empty input: keep the output schema
+        empty = pd.DataFrame({key_col: pd.Series(dtype="object"),
+                              **{c: pd.Series(dtype="float64") for c in pcols},
+                              "n_rows": pd.Series(dtype="int64")})
+        return ray.data.from_pandas(empty)
     got = ray.get([_pick.remote(refs[b], items) for b, items in picks.items()])
     brackets: dict = {}
     for part in got:

@@ -88,9 +88,10 @@ def fuse_records(
         return out
 
     def bucket_of(df: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(df[cluster_col], index=False)
+        from ..functions.hashing import pandas_bucket
+
         df = df.copy()
-        df["__bucket"] = (h.to_numpy(dtype=np.uint64) % np.uint64(num_buckets)).astype(np.int32)
+        df["__bucket"] = pandas_bucket(df[cluster_col], num_buckets)
         return df
 
     def fuse_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -127,11 +128,19 @@ def fuse_records(
                 )
                 picked = nn.drop_duplicates(k)[[k, r.col]]
             picked = picked.rename(columns={r.col: r.out})
+            src_dtype = sub[r.col].dtype
             base = base.merge(picked, on=k, how="left")
             if r.rule == "count_distinct":
                 # all-null group -> 0 (SQL COUNT(DISTINCT) semantics), and a
                 # stable int64 dtype across buckets
                 base[r.out] = base[r.out].fillna(0).astype("int64")
+            elif pd.api.types.is_integer_dtype(src_dtype):
+                # a bucket whose groups are all-null would otherwise emit
+                # float64 (NaN) while another emits int64 — pin nullable
+                # Int64 so the dtype is a pure function of (source, rule)
+                base[r.out] = base[r.out].astype("Int64")
+            elif pd.api.types.is_bool_dtype(src_dtype):
+                base[r.out] = base[r.out].astype("boolean")
         return base[[k, members_col] + [r.out for r in rules]]
 
     out = (

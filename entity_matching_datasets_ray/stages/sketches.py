@@ -50,7 +50,9 @@ def kmv_sketch(ds, key_col: str, k: int = 1024):
     # (<= k rows per batch enter the shuffle)
     return (
         ds.select_columns([key_col])
-        .map_batches(bottom_k, batch_format="pandas")
+        # whole-BLOCK batches: the default 1024-row batch equals k, which
+        # would make the per-batch bottom-k a no-op combiner
+        .map_batches(bottom_k, batch_format="pandas", batch_size=None)
         .groupby("hv")
         .aggregate(Count(alias_name="_n"))
         .select_columns(["hv"])

@@ -39,7 +39,8 @@ def test_two_table_planted_recovery(ray_session):
     # no id appears on both sides (A ids end :0, B ids end :1 here)
     assert (got["a_id"].str.endswith(":0")).all()
     assert (got["b_id"].str.endswith(":1")).all()
-    assert (got["score"] if "score" in got else pd.Series(dtype=float)).size == 0 or True
+    # default (non-one_to_one) output carries the score column
+    assert "score" in got.columns and (got["score"] >= 0.7).all()
 
 
 def test_two_table_one_to_one_mutual_best(ray_session):
