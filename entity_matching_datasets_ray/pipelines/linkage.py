@@ -324,11 +324,13 @@ def run_linkage_two_table(
 
     Scale design: ids are namespaced ``a|`` / ``b|`` (two sources may
     collide on raw ids), sides union into one entity table, and blocking
-    REUSES the delta-emission machinery with ``is_new = (side == B)``:
-    emitted pairs = B x B + A x B — A x A (pass the LARGE corpus as A)
-    is never emitted, and a vectorized prefix filter drops B x B before
-    scoring. Because pair emission orders ids and ``'a|' < 'b|'``, a
-    cross pair is exactly (left LIKE 'a|%', right LIKE 'b|%').
+    REUSES the delta-emission machinery with ``is_new = (side == B)``
+    in ``cross_only`` mode: ONLY A x B pairs are emitted at the source —
+    neither A x A nor B x B ever enters the pair shuffle (with |B| ~ |A|
+    the old post-shuffle B x B filter wasted up to ~half the shuffled
+    pair volume). Because pair emission orders ids and ``'a|' < 'b|'``,
+    a cross pair is exactly (left LIKE 'a|%', right LIKE 'b|%') — now
+    asserted per batch rather than filtered.
 
     ``one_to_one=True`` keeps only MUTUAL best matches (the standard ER
     symmetric-best heuristic): best-per-A and best-per-B tables (ties ->
@@ -380,17 +382,25 @@ def run_linkage_two_table(
         num_buckets=cfg.num_buckets or 8 * cfg.num_partitions,
         exact_keys=cfg.exact_keys,
         delta=True,
+        cross_only=True,
         min_lsh_collisions=cfg.min_lsh_collisions,
     )
 
-    def cross_only(t: _pa.Table) -> _pa.Table:
-        keep = _pc.and_(
-            _pc.starts_with(t.column("left_id"), "a|"),
-            _pc.starts_with(t.column("right_id"), "b|"),
-        )
-        return t.filter(keep)
+    def assert_cross(t: _pa.Table) -> _pa.Table:
+        # cross_only emission guarantees this; cheap per-batch invariant
+        # check instead of the old (wasteful) post-shuffle filter
+        if t.num_rows:
+            ok = _pc.and_(
+                _pc.starts_with(t.column("left_id"), "a|"),
+                _pc.starts_with(t.column("right_id"), "b|"),
+            )
+            if not _pc.all(ok).as_py():
+                raise AssertionError(
+                    "cross_only blocking emitted a non-cross pair"
+                )
+        return t
 
-    pairs = pairs.map_batches(cross_only, batch_format="pyarrow")
+    pairs = pairs.map_batches(assert_cross, batch_format="pyarrow")
 
     scored = score_pairs(
         pairs,

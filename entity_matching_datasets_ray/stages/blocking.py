@@ -192,74 +192,108 @@ def _emit_all(ids, left: list, right: list):
     right.extend(arr[jj].tolist())
 
 
+def _cmp_arr(ids) -> np.ndarray:
+    """ids as a numpy array whose elementwise comparisons run in C:
+    object (python-str) arrays are re-materialized as fixed-width
+    unicode so the orientation min/max below is vectorized."""
+    arr = np.asarray(ids)
+    if arr.dtype == object:
+        arr = arr.astype("U")
+    return arr
+
+
+def _pairs_extend(a: np.ndarray, b: np.ndarray, left: list, right: list):
+    """Append two aligned id arrays as (min, max)-oriented pairs."""
+    if len(a) == 0:
+        return
+    swap = a > b
+    left.extend(np.where(swap, b, a).tolist())
+    right.extend(np.where(swap, a, b).tolist())
+
+
 def _emit_window(ids, window: int, left: list, right: list):
+    """Sliding-window pairs, vectorized: shifted-array zips
+    ``(ids[:-j], ids[j:])`` for j = 1..window with vectorized min/max
+    orientation — the same pair set as a per-row nested loop."""
     n = len(ids)
-    for i in range(n):
-        a = ids[i]
-        for j in range(i + 1, min(i + 1 + window, n)):
-            b = ids[j]
-            if a <= b:
-                left.append(a)
-                right.append(b)
-            else:
-                left.append(b)
-                right.append(a)
+    if n < 2:
+        return
+    arr = _cmp_arr(ids)
+    for j in range(1, min(window, n - 1) + 1):
+        _pairs_extend(arr[:-j], arr[j:], left, right)
 
 
-def _emit_window_delta(ids, is_new, window: int, left: list, right: list):
+def _emit_window_delta(
+    ids, is_new, window: int, left: list, right: list, cross_only: bool = False
+):
     """Sliding-window pairs touching at least one NEW row (delta blocking:
     old x old pairs were already emitted by the run that built the
-    existing clusters)."""
+    existing clusters). ``cross_only=True`` (two-table A x B linkage)
+    keeps only pairs with EXACTLY one new side — new x new pairs are
+    never emitted, not merely filtered downstream."""
     n = len(ids)
-    for i in range(n):
-        a = ids[i]
-        a_new = is_new[i]
-        for j in range(i + 1, min(i + 1 + window, n)):
-            if not (a_new or is_new[j]):
-                continue
-            b = ids[j]
-            if a <= b:
-                left.append(a)
-                right.append(b)
-            else:
-                left.append(b)
-                right.append(a)
+    if n < 2:
+        return
+    arr = _cmp_arr(ids)
+    flags = np.asarray(is_new, dtype=bool)
+    for j in range(1, min(window, n - 1) + 1):
+        fa, fb = flags[:-j], flags[j:]
+        mask = (fa != fb) if cross_only else (fa | fb)
+        _pairs_extend(arr[:-j][mask], arr[j:][mask], left, right)
 
 
-def _emit_capped_delta(ids, is_new, max_pairs: int, left: list, right: list) -> int:
+def _emit_capped_delta(
+    ids, is_new, max_pairs: int, left: list, right: list, cross_only: bool = False
+) -> int:
     """Delta variant of ``_emit_capped``: all new-touching pairs when small
     (new x new + new x old), bounded star + window above the cap. The star
     hub is the block's min id (old or new) so new members stay reachable
-    from the existing component."""
+    from the existing component.
+
+    ``cross_only=True``: only old x new pairs exist (two-table linkage —
+    there is no connected-components stage downstream, so the capped
+    branch anchors its star at the min OLD id, every spoke a valid cross
+    pair). Callers pass ids sorted ascending."""
     n = len(ids)
-    n_new = int(np.sum(is_new))
+    flags = np.asarray(is_new, dtype=bool)
+    n_new = int(flags.sum())
     if n_new == 0:
         return 0
-    total = n_new * (n_new - 1) // 2 + n_new * (n - n_new)
+    arr = _cmp_arr(ids)
+    n_old = n - n_new
+    if cross_only:
+        total = n_new * n_old
+        if total == 0:
+            return 0
+        new_ids = arr[flags]
+        old_ids = arr[~flags]
+        if total <= max_pairs:
+            _pairs_extend(
+                np.repeat(old_ids, n_new), np.tile(new_ids, n_old), left, right
+            )
+            return 0
+        window = max(1, max_pairs // (2 * n))
+        before = len(left)
+        _pairs_extend(
+            np.full(n_new, old_ids[0], dtype=arr.dtype), new_ids, left, right
+        )
+        _emit_window_delta(arr, flags, window, left, right, cross_only=True)
+        return max(0, total - (len(left) - before))
+    total = n_new * (n_new - 1) // 2 + n_new * n_old
     if total <= max_pairs:
-        for i in range(n):
-            a = ids[i]
-            a_new = is_new[i]
-            for j in range(i + 1, n):
-                if not (a_new or is_new[j]):
-                    continue
-                b = ids[j]
-                if a <= b:
-                    left.append(a)
-                    right.append(b)
-                else:
-                    left.append(b)
-                    right.append(a)
+        ii, jj = np.triu_indices(n, 1)
+        mask = flags[ii] | flags[jj]
+        # ids sorted ascending: i < j implies ids[i] <= ids[j]
+        left.extend(arr[ii[mask]].tolist())
+        right.extend(arr[jj[mask]].tolist())
         return 0
     window = max(1, max_pairs // (2 * n))
-    hub = ids[0]
-    for i in range(1, n):
-        if is_new[i]:
-            left.append(hub)
-            right.append(ids[i])
-    _emit_window_delta(ids, is_new, window, left, right)
-    emitted = n_new + min(total, window * n)
-    return max(0, total - emitted)
+    before = len(left)
+    hub = arr[0]
+    new_tail = arr[1:][flags[1:]]
+    _pairs_extend(np.full(len(new_tail), hub, dtype=arr.dtype), new_tail, left, right)
+    _emit_window_delta(arr, flags, window, left, right)
+    return max(0, total - (len(left) - before))
 
 
 def _emit_capped(ids, max_pairs: int, left: list, right: list) -> int:
@@ -922,6 +956,7 @@ def candidate_pairs(
     snm_max_block_size: int = 5000,
     concurrency: int | tuple | None = None,
     delta: bool = False,
+    cross_only: bool = False,
     salt_hot_keys: bool = True,
     salt_threshold: int = DEFAULT_SALT_THRESHOLD,
     salt_factor: int = DEFAULT_SALT_FACTOR,
@@ -937,7 +972,13 @@ def candidate_pairs(
     ``is_new`` int8 column; only pairs touching at least one NEW row are
     emitted — the old x old pairs were already scored by the run that
     built the existing clusters, so a delta of d docs against a corpus of
-    n costs O(d x block_members), never O(n^2)."""
+    n costs O(d x block_members), never O(n^2).
+
+    ``cross_only=True`` (requires ``delta=True``; two-table A x B
+    linkage): only pairs with EXACTLY one ``is_new`` side are emitted —
+    new x new (B x B) pairs never enter the pair shuffle at all."""
+    if cross_only and not delta:
+        raise ValueError("cross_only requires delta=True (an is_new column)")
     need_cols = ["doc_id", "norm_name", "snm_key"] + sorted(
         {c for cols in exact_keys for c in cols}
     )
@@ -1003,7 +1044,9 @@ def candidate_pairs(
                     if flags is not None:
                         flags = flags[:snm_max_block_size]
                 if delta:
-                    _emit_window_delta(ids, flags, window, left, right)
+                    _emit_window_delta(
+                        ids, flags, window, left, right, cross_only=cross_only
+                    )
                 else:
                     _emit_window(ids, window, left, right)
             else:
@@ -1012,7 +1055,8 @@ def candidate_pairs(
                     ids = g2["doc_id"].to_numpy()
                     flags = g2["is_new"].to_numpy()
                     overflow += _emit_capped_delta(
-                        ids, flags, max_pairs_per_block, left, right
+                        ids, flags, max_pairs_per_block, left, right,
+                        cross_only=cross_only,
                     )
                 else:
                     ids = np.sort(g["doc_id"].unique())

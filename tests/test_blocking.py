@@ -208,3 +208,129 @@ def test_hot_key_salting_bounds_groups_and_keeps_connectivity():
     assert comp.entity_id.nunique() == 1, "salted sub-blocks must stay connected"
     # the pair count stays bounded (star+window per sub-block, not O(k^2))
     assert len(pairs) < 40 * n_hot
+
+
+# ---------------------------------------------------------------------------
+# vectorized emitters: reference-loop equivalence + cross_only semantics
+# ---------------------------------------------------------------------------
+
+
+def _ref_window(ids, window):
+    out = set()
+    n = len(ids)
+    for i in range(n):
+        for j in range(i + 1, min(i + 1 + window, n)):
+            a, b = ids[i], ids[j]
+            out.add((a, b) if a <= b else (b, a))
+    return out
+
+
+def _ref_window_delta(ids, is_new, window, cross_only=False):
+    out = set()
+    n = len(ids)
+    for i in range(n):
+        for j in range(i + 1, min(i + 1 + window, n)):
+            if cross_only:
+                if bool(is_new[i]) == bool(is_new[j]):
+                    continue
+            elif not (is_new[i] or is_new[j]):
+                continue
+            a, b = ids[i], ids[j]
+            out.add((a, b) if a <= b else (b, a))
+    return out
+
+
+@pytest.mark.parametrize("window", [1, 3, 10, 50])
+def test_emit_window_matches_loop(window):
+    import random
+
+    rng = random.Random(7)
+    ids = [f"d{rng.randrange(10**6):06d}" for _ in range(37)]
+    left, right = [], []
+    B._emit_window(ids, window, left, right)
+    assert set(zip(left, right)) == _ref_window(ids, window)
+
+
+@pytest.mark.parametrize("cross_only", [False, True])
+@pytest.mark.parametrize("window", [1, 4, 25])
+def test_emit_window_delta_matches_loop(window, cross_only):
+    import random
+
+    rng = random.Random(11)
+    ids = [f"d{rng.randrange(10**6):06d}" for _ in range(41)]
+    flags = [rng.random() < 0.4 for _ in ids]
+    left, right = [], []
+    B._emit_window_delta(ids, flags, window, left, right, cross_only=cross_only)
+    got = set(zip(left, right))
+    assert got == _ref_window_delta(ids, flags, window, cross_only=cross_only)
+    if cross_only:
+        by_id = dict(zip(ids, flags))
+        assert all(by_id[a] != by_id[b] for a, b in got)
+
+
+def test_emit_capped_delta_small_matches_loop():
+    ids = sorted(f"d{i:03d}" for i in range(20))
+    flags = [i % 3 == 0 for i in range(20)]
+    left, right = [], []
+    ov = B._emit_capped_delta(ids, flags, 10**6, left, right)
+    assert ov == 0
+    want = {
+        (ids[i], ids[j])
+        for i in range(20)
+        for j in range(i + 1, 20)
+        if flags[i] or flags[j]
+    }
+    assert set(zip(left, right)) == want
+
+
+def test_emit_capped_delta_cross_only_small_is_full_bipartite():
+    ids = sorted(f"d{i:03d}" for i in range(20))
+    flags = [i % 2 == 0 for i in range(20)]
+    left, right = [], []
+    ov = B._emit_capped_delta(ids, flags, 10**6, left, right, cross_only=True)
+    assert ov == 0
+    got = set(zip(left, right))
+    new = {i for i, f in zip(ids, flags) if f}
+    old = set(ids) - new
+    want = {(min(a, b), max(a, b)) for a in old for b in new}
+    assert got == want
+
+
+def test_emit_capped_delta_cross_only_capped_emits_only_cross():
+    ids = sorted(f"d{i:04d}" for i in range(200))
+    flags = [i % 2 == 0 for i in range(200)]
+    left, right = [], []
+    ov = B._emit_capped_delta(ids, flags, 50, left, right, cross_only=True)
+    assert ov > 0  # 100*100 cross pairs >> cap
+    by_id = dict(zip(ids, flags))
+    assert all(by_id[a] != by_id[b] for a, b in zip(left, right))
+    assert len(left) > 0
+
+
+def test_candidate_pairs_cross_only_equals_delta_filtered(entities):
+    """cross_only emission == delta emission post-filtered to cross pairs,
+    and strictly smaller (the B x B share never enters the shuffle)."""
+    ents = entities.to_pandas()
+    half = len(ents) // 2
+    ents = ents.copy()
+    ents["is_new"] = (ents.index >= half).astype("int8")
+    # namespace ids so new ids sort after old ids (the two-table layout)
+    ents["doc_id"] = ents["is_new"].map({0: "a|", 1: "b|"}) + ents["doc_id"]
+    ds = rd.from_pandas(ents)
+    delta = B.candidate_pairs(ds, num_partitions=4, delta=True).to_pandas()
+    cross = B.candidate_pairs(
+        ds, num_partitions=4, delta=True, cross_only=True
+    ).to_pandas()
+    cross_set = set(zip(cross.left_id, cross.right_id))
+    delta_cross = {
+        (l, r)
+        for l, r in zip(delta.left_id, delta.right_id)
+        if l.startswith("a|") and r.startswith("b|")
+    }
+    assert cross_set == delta_cross
+    # the saving is real: delta emitted B x B pairs that cross_only never did
+    assert len(delta) > len(cross)
+    assert all(
+        l.startswith("a|") and r.startswith("b|")
+        for l, r in zip(cross.left_id, cross.right_id)
+    )
