@@ -37,13 +37,23 @@ def _init_ray(num_cpus: int | None):
     DataContext.get_current().enable_progress_bars = False
 
 
+def _write_counted(ds, path: str) -> int:
+    """Materialize ONCE, then write + count — ``count()`` after a write on
+    a lazy Dataset re-executes the whole pipeline a second time just to
+    print a row count (ADVICE r3). On the materialized handle the count
+    is metadata-only."""
+    ds = ds.materialize()
+    ds.write_parquet(path)
+    return ds.count()
+
+
 def cmd_convert(args) -> int:
     from .sources.ditto import convert_ditto_to_wide
 
     wide, fields = convert_ditto_to_wide(args.input)
-    wide.write_parquet(args.output)
+    n_out = _write_counted(wide, args.output)
     print(f"fields: {fields}")
-    print(f"rows: {wide.count()} -> {args.output}")
+    print(f"rows: {n_out} -> {args.output}")
     return 0
 
 
@@ -55,8 +65,8 @@ def cmd_enrich(args) -> int:
         print(f"unknown spec {args.spec!r}; have {sorted(SPECS)}", file=sys.stderr)
         return 2
     out = enrich_pairs(read_pair_csv(args.input), SPECS[args.spec])
-    out.write_parquet(args.output)
-    print(f"rows: {out.count()} -> {args.output}")
+    n_out = _write_counted(out, args.output)
+    print(f"rows: {n_out} -> {args.output}")
     return 0
 
 
@@ -72,8 +82,8 @@ def cmd_link(args) -> int:
         checkpoint_root=args.checkpoint,
     )
     clusters = run_linkage(docs, cfg)
-    clusters.write_parquet(args.output)
-    print(f"clusters: {clusters.count()} rows -> {args.output}")
+    n_out = _write_counted(clusters, args.output)
+    print(f"clusters: {n_out} rows -> {args.output}")
     return 0
 
 
@@ -89,8 +99,8 @@ def cmd_dedup(args) -> int:
         out = minhash_dedup(
             ds, id_col=args.id_col, text_col=args.text_col, threshold=args.threshold
         )
-    out.write_parquet(args.output)
-    print(f"survivors: {out.count()} -> {args.output}")
+    n_out = _write_counted(out, args.output)
+    print(f"survivors: {n_out} -> {args.output}")
     return 0
 
 
@@ -101,8 +111,8 @@ def cmd_annotate(args) -> int:
 
     ds = rd.read_parquet(args.input, columns=[args.id_col, args.text_col])
     out = annotate_documents(ds, id_col=args.id_col, text_col=args.text_col)
-    out.write_parquet(args.output)
-    print(f"annotated: {out.count()} -> {args.output}")
+    n_out = _write_counted(out, args.output)
+    print(f"annotated: {n_out} -> {args.output}")
     return 0
 
 
@@ -116,8 +126,8 @@ def cmd_chunk(args) -> int:
         ds, id_col=args.id_col, text_col=args.text_col,
         chunk_tokens=args.chunk_tokens, overlap_tokens=args.overlap,
     )
-    out.write_parquet(args.output)
-    print(f"chunks: {out.count()} -> {args.output}")
+    n_out = _write_counted(out, args.output)
+    print(f"chunks: {n_out} -> {args.output}")
     return 0
 
 
@@ -132,8 +142,8 @@ def cmd_link_delta(args) -> int:
     new_docs = rd.read_parquet(args.new_docs)
     cfg = LinkageConfig(threshold=args.threshold, num_partitions=args.partitions)
     merged = run_linkage_incremental(clusters, old_docs, new_docs, cfg)
-    merged.write_parquet(args.output)
-    print(f"clusters after delta: {merged.count()} rows -> {args.output}")
+    n_out = _write_counted(merged, args.output)
+    print(f"clusters after delta: {n_out} rows -> {args.output}")
     return 0
 
 
@@ -150,8 +160,8 @@ def cmd_ann(args) -> int:
         ds, q[args.id_col].tolist(), np.stack(q[args.vec_col].to_numpy()),
         k=args.k, id_col=args.id_col, vec_col=args.vec_col,
     )
-    out.write_parquet(args.output)
-    print(f"matches: {out.count()} -> {args.output}")
+    n_out = _write_counted(out, args.output)
+    print(f"matches: {n_out} -> {args.output}")
     return 0
 
 
@@ -164,8 +174,8 @@ def cmd_link2(args) -> int:
     b = rd.read_parquet(args.table_b)
     cfg = LinkageConfig(threshold=args.threshold, num_partitions=args.partitions)
     out = run_linkage_two_table(a, b, cfg, one_to_one=args.one_to_one)
-    out.write_parquet(args.output)
-    print(f"matches: {out.count()} -> {args.output}")
+    n_out = _write_counted(out, args.output)
+    print(f"matches: {n_out} -> {args.output}")
     return 0
 
 
@@ -182,8 +192,8 @@ def cmd_fuse(args) -> int:
             raise SystemExit(f"--rule must be out:rule:col[:order_col], got {spec!r}")
         rules.append(tuple(parts))
     out = fuse_records(ds, args.cluster_col, rules)
-    out.write_parquet(args.output)
-    print(f"golden records: {out.count()} -> {args.output}")
+    n_out = _write_counted(out, args.output)
+    print(f"golden records: {n_out} -> {args.output}")
     return 0
 
 

@@ -310,18 +310,45 @@ def _membership_join(left, right_keys, on: str, right_on: str, keep: bool,
     Adaptive: collect + broadcast the key set when it is small (zero
     shuffle; vectorized ``pc.is_in``); fall back to a partitioned
     left-outer join against the DISTINCT right keys + null filter when the
-    collected set would blow the driver/worker heap. The guard is a hard
-    count on the collected set, not a heuristic.
+    collected set would blow the driver/worker heap.
+
+    Plan choice is sample-first: a KMV distinct-count sketch
+    (``stages/sketches.py`` — per-batch bottom-k, a <=k-row shuffle,
+    never the corpus) estimates the right key cardinality BEFORE any
+    driver-side stream, so a huge right side goes straight to the shuffle
+    plan without ever flowing through the driver. When the estimate is
+    under the cap, the collect still enforces the hard count (the sketch
+    has ~1/sqrt(k) error; the cap is a guarantee, not a heuristic).
+
+    NULL semantics (SQL EXISTS / NOT EXISTS over an equality predicate):
+    a NULL key never matches anything — NULL right keys are dropped from
+    the membership set on BOTH plans, so semi drops and anti keeps
+    NULL-key left rows, consistently.
     """
     import ray
 
-    keys: set = set()
-    broadcast_ok = True
-    for b in right_keys.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        keys.update(b[right_on].to_pylist())
-        if len(keys) > max_broadcast_keys:
-            broadcast_ok = False
-            break
+    # NULL-rejecting EXISTS: null right keys can never witness a match
+    right_nn = right_keys.map_batches(
+        lambda t: t.filter(pc.is_valid(t[right_on])), batch_format="pyarrow"
+    )
+
+    from ..stages.sketches import kmv_distinct
+
+    est = int(
+        kmv_distinct(right_nn.select_columns([right_on]), right_on, k=256,
+                     allow_any_dtype=True)
+        .to_pandas()["n_distinct_est"].iloc[0]
+    )
+    broadcast_ok = est <= max_broadcast_keys
+
+    if broadcast_ok:
+        keys: set = set()
+        for b in right_nn.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            keys.update(b[right_on].to_pylist())
+            if len(keys) > max_broadcast_keys:  # hard cap despite the sketch
+                broadcast_ok = False
+                break
+        keys.discard(None)
 
     if broadcast_ok:
         keys_ref = ray.put(list(keys))
@@ -334,7 +361,11 @@ def _membership_join(left, right_keys, on: str, right_on: str, keep: bool,
             def __call__(self, t: pa.Table) -> pa.Table:
                 if len(self.keys) == 0:
                     return t.slice(0, 0) if keep else t
-                mask = pc.is_in(pc.cast(t[on], self.keys.type), value_set=self.keys)
+                # fill_null(False): a NULL left key matches nothing
+                mask = pc.fill_null(
+                    pc.is_in(pc.cast(t[on], self.keys.type), value_set=self.keys),
+                    False,
+                )
                 if not keep:
                     mask = pc.invert(mask)
                 return t.filter(mask)
@@ -345,7 +376,7 @@ def _membership_join(left, right_keys, on: str, right_on: str, keep: bool,
     from ray.data.aggregate import Count as _Count
 
     marker = "__member_marker"
-    distinct = right_keys.groupby(right_on, num_partitions=num_partitions).aggregate(
+    distinct = right_nn.groupby(right_on, num_partitions=num_partitions).aggregate(
         _Count(alias_name=marker)
     )
     # the hash-aggregate widens int keys; re-cast to the left side's dtype
@@ -382,7 +413,11 @@ def grouped_quantiles(
     num_partitions: int | None = None,
     method: str = "disc",
 ):
-    """Exact per-group quantiles.
+    """Exact per-group quantiles — a thin dispatch to
+    ``grouped_quantiles_sorted`` (VERDICT r3 item 7: the old per-group
+    pandas path assumed one key's rows fit a partition; the sorted
+    block-offset path is exact at ANY key cardinality with no such
+    caveat, so the whole-key path is retired).
 
     - ``method="disc"``: the selected element is ``sorted[ceil(q*n) - 1]``
       — SQL ``quantile_disc`` semantics, a passthrough of a real row
@@ -391,40 +426,9 @@ def grouped_quantiles(
       computed as ``lo*(1-frac) + hi*frac`` — verified bit-identical to
       DuckDB's ``quantile_cont`` on DOUBLE columns (the other algebraic
       form, ``lo + (hi-lo)*frac``, differs in the last bit).
-
-    Partitioning assumption: one key's rows fit in a partition (the same
-    PARTITION BY contract as ``windows.lag_partitioned``); a corpus-wide
-    quantile over a skewed giant group would use a sampled-histogram
-    sketch instead.
     """
-    import math
-
-    import numpy as np
-    import pandas as pd
-
-    if method not in ("disc", "cont"):
-        raise ValueError(method)
-
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(g[value_col].to_numpy())
-        n = len(v)
-        row = {c: g[c].iloc[0] for c in key_cols}
-        for q in qs:
-            if method == "disc":
-                row[f"p{round(q * 100):02d}"] = v[max(0, math.ceil(q * n) - 1)]
-            else:
-                pos = q * (n - 1)
-                lo, hi = int(math.floor(pos)), int(math.ceil(pos))
-                frac = pos - lo
-                row[f"p{round(q * 100):02d}"] = v[lo] * (1 - frac) + v[hi] * frac
-        row["n_rows"] = np.int64(n)
-        return pd.DataFrame([row])
-
-    return (
-        ds.select_columns(key_cols + [value_col])
-        .groupby(key_cols, num_partitions=num_partitions)
-        .map_groups(per_group, batch_format="pandas")
-    )
+    del num_partitions  # the sorted path derives its own block layout
+    return grouped_quantiles_sorted(ds, key_cols, value_col, qs=qs, method=method)
 
 
 def q_segment_price_quantiles(sf_dir: str):
@@ -836,10 +840,30 @@ def global_quantiles(ds, value_col: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99
         refs.extend(bundle.block_refs)
 
     @ray.remote
-    def _nrows(block) -> int:
-        return BlockAccessor.for_block(block).num_rows()
+    def _nrows(block):
+        acc = BlockAccessor.for_block(block)
+        n = acc.num_rows()
+        if n == 0:
+            return (0, None, None)
+        col = acc.to_pandas()[value_col]
+        return (n, col.iloc[0], col.iloc[-1])
 
-    counts = ray.get([_nrows.remote(r) for r in refs])
+    stats = ray.get([_nrows.remote(r) for r in refs])
+    counts = [n for n, _, _ in stats]
+    # block order IS global order after ds.sort — an undocumented internal
+    # contract (iter_internal_ref_bundles); assert it cheaply so a Ray
+    # upgrade that reorders bundles fails loudly instead of silently
+    # returning wrong quantiles (ADVICE r3)
+    prev_max = None
+    for n, vmin, vmax in stats:
+        if n == 0:
+            continue
+        if prev_max is not None and vmin < prev_max:
+            raise AssertionError(
+                "global_quantiles: sorted blocks arrived out of global order "
+                f"(block min {vmin!r} < previous block max {prev_max!r})"
+            )
+        prev_max = vmax
     n_total = int(sum(counts))
     if n_total == 0:
         return ray.data.from_pandas(
@@ -998,22 +1022,23 @@ def q_shipping_priority(sf_dir: str):
 
 def grouped_quantiles_sorted(
     ds,
-    key_col: str,
+    key_col: str | list[str],
     value_col: str,
     qs: tuple[float, ...] = (0.5, 0.9),
     method: str = "disc",
 ):
     """EXACT per-group discrete quantiles with NO whole-key group — the
-    scale path for low-cardinality keys (the partition-fits caveat on
-    ``grouped_quantiles`` is real: 5 segments over 10^12 rows is five
-    impossible pandas groups).
+    scale path at ANY key cardinality (a giant group never materializes:
+    5 segments over 10^12 rows would be five impossible pandas groups on
+    a per-group plan).
+
+    Accepts one key column or a list (multi-key GROUP BY).
 
     Mechanics (the ``global_quantiles`` pattern, keyed): one global sort
-    on (key, value); per-block (key, count) summaries — a few rows per
+    on (*keys, value); per-block (key, count) summaries — a few rows per
     block — locate each group's quantile positions; one tiny task per hit
-    block fetches the selected rows. Output matches ``grouped_quantiles``
-    (key, p50, ..., n_rows), quantile_disc semantics, bit-identical
-    passthrough values.
+    block fetches the selected rows. Output is (*keys, p50, ..., n_rows),
+    quantile_disc semantics, bit-identical passthrough values.
     """
     import math
 
@@ -1023,7 +1048,12 @@ def grouped_quantiles_sorted(
     import ray
     from ray.data.block import BlockAccessor
 
-    s = ds.select_columns([key_col, value_col]).sort([key_col, value_col]).materialize()
+    keys = [key_col] if isinstance(key_col, str) else list(key_col)
+
+    def _ktup(row_vals):
+        return tuple(row_vals)
+
+    s = ds.select_columns(keys + [value_col]).sort(keys + [value_col]).materialize()
     refs = []
     for bundle in s.iter_internal_ref_bundles():
         refs.extend(bundle.block_refs)
@@ -1032,12 +1062,28 @@ def grouped_quantiles_sorted(
     def _summary(block):
         df = BlockAccessor.for_block(block).to_pandas()
         if len(df) == 0:
-            return []
-        df = df.sort_values([key_col, value_col], kind="mergesort")
-        g = df.groupby(key_col, sort=True).size()
-        return list(zip(g.index.tolist(), g.to_numpy().tolist()))
+            return [], None, None
+        df = df.sort_values(keys + [value_col], kind="mergesort")
+        g = df.groupby(keys, sort=True).size()
+        klist = [k if isinstance(k, tuple) else (k,) for k in g.index.tolist()]
+        first_kv = tuple(df[c].iloc[0] for c in keys) + (df[value_col].iloc[0],)
+        last_kv = tuple(df[c].iloc[-1] for c in keys) + (df[value_col].iloc[-1],)
+        return list(zip(klist, g.to_numpy().tolist())), first_kv, last_kv
 
-    summaries = ray.get([_summary.remote(r) for r in refs])
+    results = ray.get([_summary.remote(r) for r in refs])
+    # assert the block-order-is-global-order contract (see
+    # global_quantiles): (key, value) boundaries must be non-decreasing
+    prev_last = None
+    for _, first_kv, last_kv in results:
+        if first_kv is None:
+            continue
+        if prev_last is not None and first_kv < prev_last:
+            raise AssertionError(
+                "grouped_quantiles_sorted: sorted blocks arrived out of "
+                f"global order ({first_kv!r} < previous block end {prev_last!r})"
+            )
+        prev_last = last_kv
+    summaries = [pairs for pairs, _, _ in results]
     # per key: count seen before each block (blocks are in global order)
     running: dict = {}
     before: list[dict] = []
@@ -1073,17 +1119,20 @@ def grouped_quantiles_sorted(
     @ray.remote
     def _pick(block, items):
         df = BlockAccessor.for_block(block).to_pandas()
-        df = df.sort_values([key_col, value_col], kind="mergesort").reset_index(drop=True)
-        starts = df.groupby(key_col, sort=False).cumcount()
+        df = df.sort_values(keys + [value_col], kind="mergesort").reset_index(drop=True)
+        starts = df.groupby(keys, sort=False).cumcount()
         out = []
         for k, q, role, local in items:
-            seg = df.index[(df[key_col] == k) & (starts == local)]
+            mask = starts == local
+            for c, kv in zip(keys, k):
+                mask &= df[c] == kv
+            seg = df.index[mask]
             out.append((k, q, role, df[value_col].iloc[seg[0]]))
         return out
 
     pcols = [f"p{round(q * 100):02d}" for q in qs]
     if not running:  # empty input: keep the output schema
-        empty = pd.DataFrame({key_col: pd.Series(dtype="object"),
+        empty = pd.DataFrame({**{c: pd.Series(dtype="object") for c in keys},
                               **{c: pd.Series(dtype="float64") for c in pcols},
                               "n_rows": pd.Series(dtype="int64")})
         return ray.data.from_pandas(empty)
@@ -1103,9 +1152,9 @@ def grouped_quantiles_sorted(
         rows.setdefault(k, {})[f"p{round(q * 100):02d}"] = v
     out = pd.DataFrame(
         [
-            {key_col: k, **vals, "n_rows": np.int64(running[k])}
+            {**dict(zip(keys, k)), **vals, "n_rows": np.int64(running[k])}
             for k, vals in sorted(rows.items())
         ]
     )
-    cols = [key_col] + [f"p{round(q * 100):02d}" for q in qs] + ["n_rows"]
+    cols = keys + [f"p{round(q * 100):02d}" for q in qs] + ["n_rows"]
     return ray.data.from_pandas(out[cols])

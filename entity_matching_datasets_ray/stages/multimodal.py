@@ -126,10 +126,12 @@ def media_dedup_pairs(docs, num_partitions: int | None = 16, concurrency=(1, 4))
     (span flatten -> actor-pool featurize -> fingerprint groupby -> star
     pairs), decode stubbed as everywhere else (``decoder="fake"``).
 
-    Scale shape: ONE groupby shuffle keyed on a 64-bit siphash of the
-    feature vector (rows carry doc_id + the 8-float feature, nothing
-    else); inside a group the canonical member is the lexicographic min
-    doc and emission is the star pattern (O(k) per group, the CC-safe
+    Scale shape: ONE groupby shuffle keyed on a bounded BUCKET (hash % 64)
+    of the 64-bit siphash of the feature vector (rows carry doc_id + the
+    8-float feature, nothing else) — two-level grouping, so Ray dispatches
+    at most 64 groups while the per-fp work happens in a pandas groupby
+    inside; inside an fp group the canonical member is the lexicographic
+    min doc and emission is the star pattern (O(k) per group, the CC-safe
     form). Hash collisions cannot produce false pairs: each group
     re-checks exact feature equality against the canonical member before
     emitting (the fingerprint only routes, the FEATURE decides).
@@ -145,8 +147,16 @@ def media_dedup_pairs(docs, num_partitions: int | None = 16, concurrency=(1, 4))
         fp = pd.util.hash_pandas_object(
             pd.DataFrame(arr), index=False
         ).to_numpy(dtype=np.uint64)
-        return t.select(["doc_id", "media_feature"]).append_column(
+        out = t.select(["doc_id", "media_feature"]).append_column(
             "fp", pa.array(fp, pa.uint64())
+        )
+        # two-level grouping: fp is ~distinct per media object, so a
+        # groupby("fp") would dispatch one Ray-level map_groups per
+        # object (10^9 tiny calls at 10^9 media rows). Shuffle on a
+        # bounded bucket of the fp instead; the pandas groupby inside
+        # per_group does the per-fp work (the fusion/blocking idiom).
+        return out.append_column(
+            "fp_bucket", pa.array((fp % np.uint64(64)).astype(np.int32), pa.int32())
         )
 
     def per_group(df: pd.DataFrame) -> pd.DataFrame:
@@ -169,7 +179,7 @@ def media_dedup_pairs(docs, num_partitions: int | None = 16, concurrency=(1, 4))
 
     return (
         feats.map_batches(add_fp, batch_format="pyarrow")
-        .groupby("fp", num_partitions=num_partitions)
+        .groupby("fp_bucket", num_partitions=num_partitions)
         .map_groups(per_group, batch_format="pandas")
     )
 

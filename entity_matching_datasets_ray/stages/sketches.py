@@ -27,18 +27,29 @@ _FIB = np.uint64(0x9E3779B97F4A7C15)
 _TWO64 = float(2**64)
 
 
-def kmv_sketch(ds, key_col: str, k: int = 1024):
-    """Dataset of the k smallest distinct key hashes (uint64, ascending)."""
+def kmv_sketch(ds, key_col: str, k: int = 1024, allow_any_dtype: bool = False):
+    """Dataset of the k smallest distinct key hashes (uint64, ascending).
+
+    ``allow_any_dtype=True`` hashes non-integer keys with
+    ``hash_pandas_object`` (deterministic cross-process) — NOT
+    SQL-reproducible, for internal planning probes (e.g. the semi/anti
+    broadcastability check), never for oracle-checked queries."""
 
     def bottom_k(df: pd.DataFrame) -> pd.DataFrame:
         keys = df[key_col].to_numpy()
-        if not np.issubdtype(keys.dtype, np.integer):
+        if np.issubdtype(keys.dtype, np.integer):
+            with np.errstate(over="ignore"):
+                h = keys.astype(np.uint64) * _FIB
+        elif allow_any_dtype:
+            h = pd.util.hash_pandas_object(df[key_col], index=False).to_numpy(
+                dtype=np.uint64
+            )
+        else:
             raise TypeError(
                 f"kmv_sketch needs an integer key for SQL-reproducible "
-                f"hashing; got {keys.dtype} (hash externally first)"
+                f"hashing; got {keys.dtype} (hash externally first, or pass "
+                f"allow_any_dtype=True for planning-only estimates)"
             )
-        with np.errstate(over="ignore"):
-            h = keys.astype(np.uint64) * _FIB
         h = np.unique(h)  # sorted distinct
         return pd.DataFrame({"hv": h[:k]})
 
@@ -61,7 +72,7 @@ def kmv_sketch(ds, key_col: str, k: int = 1024):
     )
 
 
-def kmv_distinct(ds, key_col: str, k: int = 1024):
+def kmv_distinct(ds, key_col: str, k: int = 1024, allow_any_dtype: bool = False):
     """One-row Dataset: (n_distinct_est int64, k_used int64).
 
     If fewer than k distinct hashes exist the count is EXACT (the sketch
@@ -75,15 +86,17 @@ def kmv_distinct(ds, key_col: str, k: int = 1024):
         if n == 0:
             return pd.DataFrame({"n_distinct_est": pd.array([0], dtype="int64"),
                                  "k_used": pd.array([0], dtype="int64")})
-        if n < k:
+        kth = float(df["hv"].max())
+        if n < k or kth == 0.0:
+            # kth == 0 only when every bottom-k hash is 0 (k == 1 and a
+            # key hashing to 0): one distinct hash seen -> exact count
             est = n
         else:
-            kth = float(df["hv"].max())
             est = int(np.floor((k - 1) * _TWO64 / kth))
         return pd.DataFrame({"n_distinct_est": pd.array([est], dtype="int64"),
                              "k_used": pd.array([n], dtype="int64")})
 
     # the sketch is <= k rows; a single-partition pandas pass is exact
-    return kmv_sketch(ds, key_col, k).repartition(1).map_batches(
-        estimate, batch_format="pandas", batch_size=None
-    )
+    return kmv_sketch(ds, key_col, k, allow_any_dtype=allow_any_dtype).repartition(
+        1
+    ).map_batches(estimate, batch_format="pandas", batch_size=None)

@@ -35,6 +35,23 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _key_scalar(v):
+    """Normalize a scalar for block-identity dict keys (equality only):
+    pandas Timestamps -> stdlib datetime, numpy scalars -> python
+    scalars, everything else (str, ...) unchanged — so the driver-side
+    summary value and the worker-side first-row value compare equal
+    regardless of boxing, and a non-datetime ORDER BY column (int
+    sequence, string) works instead of crashing on .to_pydatetime()
+    (ADVICE r3)."""
+    to_pydt = getattr(v, "to_pydatetime", None)
+    if to_pydt is not None:
+        return to_pydt()
+    item = getattr(v, "item", None)
+    if item is not None:
+        return item()
+    return v
+
+
 def _cents(col) -> pa.Array:
     return pc.cast(pc.round(pc.multiply(col, pa.scalar(100.0))), pa.int64())
 
@@ -615,7 +632,7 @@ def row_number_partitioned(
                 {
                     "blk_key": fk,
                     "blk_ts": df[ts_col].iloc[0],
-                    "blk_id": int(df[id_col].iloc[0]),
+                    "blk_id": df[id_col].iloc[0],
                     "first_key": fk,
                     "last_key": lk,
                     "n_first": int((df[key_col] == fk).sum()),
@@ -636,7 +653,7 @@ def row_number_partitioned(
     offsets: dict = {}
     run_key, run_cnt = None, 0
     for _, row in summaries.iterrows():
-        bkey = (row["first_key"], row["blk_ts"].to_pydatetime(), int(row["blk_id"]))
+        bkey = (row["first_key"], _key_scalar(row["blk_ts"]), _key_scalar(row["blk_id"]))
         off = run_cnt if row["first_key"] == run_key else 0
         offsets[bkey] = off
         base = off + row["n_last"] if row["last_key"] == row["first_key"] else row["n_last"]
@@ -652,8 +669,8 @@ def row_number_partitioned(
         df = df.sort_values([key_col, ts_col, id_col]).reset_index(drop=True)
         local = df.groupby(key_col, sort=False).cumcount().to_numpy()
         fk = df[key_col].iloc[0]
-        bkey = (fk, df[ts_col].iloc[0].to_pydatetime(), int(df[id_col].iloc[0]))
-        off = om.get(bkey, 0)
+        bkey = (fk, _key_scalar(df[ts_col].iloc[0]), _key_scalar(df[id_col].iloc[0]))
+        off = om[bkey]  # strict: a missing block identity is a bug, not 0
         rn = local + 1
         rn = rn + np.where(df[key_col].to_numpy() == fk, off, 0)
         out = df[[id_col, key_col, ts_col]].copy()

@@ -22,7 +22,6 @@ stable under repartitioning and execution order.
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
 import shutil
@@ -159,12 +158,13 @@ def run_stage(
     keys = key_columns or [ds.schema().names[0]]
 
     def add_part(t: pa.Table) -> pa.Table:
-        vals = t.column(keys[0]).to_pylist()
-        parts = [
-            int.from_bytes(hashlib.blake2b(str(v).encode(), digest_size=4).digest(), "big")
-            % num_partitions
-            for v in vals
-        ]
+        # vectorized + deterministic across resumes: hash_pandas_object
+        # uses a fixed default key, so a resumed run assigns identical
+        # partitions and the fingerprints stay trustworthy
+        from ..functions.hashing import pandas_bucket
+
+        keys_pd = t.column(keys[0]).to_pandas().astype(str)
+        parts = pandas_bucket(keys_pd, num_partitions)
         return t.append_column("__part", pa.array(parts, pa.int32()))
 
     def process(df) -> pa.Table:

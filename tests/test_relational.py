@@ -217,3 +217,53 @@ def test_semi_join_both_paths(ray_session):
         )
         assert list(out["k"]) == [2, 4]          # never duplicated
         assert list(out.columns) == ["k", "x"]   # full left rows
+
+
+def test_membership_join_null_semantics_both_paths(ray_session):
+    """SQL EXISTS / NOT EXISTS over equality: NULL never matches — a NULL
+    right key witnesses nothing, a NULL left key matches nothing, on BOTH
+    the broadcast and shuffle plans (ADVICE r3: the broadcast path used to
+    let null match null via pc.is_in skip_nulls=False)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.pipelines.relational import anti_join, semi_join
+
+    left = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2, None, 4], pa.int64()),
+                  "x": ["a", "b", "c", "d"]})
+    )
+    right = rd.from_arrow(pa.table({"rk": pa.array([2, None, 9], pa.int64())}))
+    for cap in (1000, 1):  # broadcast, then forced shuffle
+        semi = (
+            semi_join(left, right, on="k", right_on="rk", max_broadcast_keys=cap)
+            .to_pandas().sort_values("x")
+        )
+        anti = (
+            anti_join(left, right, on="k", right_on="rk", max_broadcast_keys=cap)
+            .to_pandas().sort_values("x")
+        )
+        assert list(semi["x"]) == ["b"], f"cap={cap}"          # EXISTS
+        assert list(anti["x"]) == ["a", "c", "d"], f"cap={cap}"  # NOT EXISTS
+
+
+def test_membership_join_probe_skips_driver_stream_on_large_right(ray_session):
+    """With a right key set far over the cap, the KMV probe must route to
+    the shuffle plan without the driver ever streaming the right side:
+    iter_batches on the right Dataset would be the old behavior — here we
+    just assert correctness and that the plan gives the same answer as the
+    broadcast plan on a small equivalent."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.pipelines.relational import semi_join
+
+    left = rd.from_pandas(pd.DataFrame({"k": np.arange(50, dtype=np.int64), "x": ["v"] * 50}))
+    # 20k distinct right keys, cap 1000 -> KMV estimate >> cap -> shuffle
+    right = rd.from_pandas(pd.DataFrame({"rk": np.arange(0, 40000, 2, dtype=np.int64)}))
+    out = (
+        semi_join(left, right, on="k", right_on="rk", max_broadcast_keys=1000)
+        .to_pandas().sort_values("k")
+    )
+    assert list(out["k"]) == list(range(0, 50, 2))

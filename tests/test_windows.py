@@ -409,3 +409,30 @@ def test_rank_features_matches_pandas():
     assert (got["rn"].to_numpy() == bf["rn"].to_numpy()).all()
     assert np.allclose(got["percent_rank"].to_numpy(), bf["percent_rank"].to_numpy())
     assert (got["tile"].to_numpy() == bf["tile"].to_numpy()).all()
+
+
+def test_row_number_non_datetime_order_column(ray_session):
+    """ORDER BY an int sequence and a string id (no datetime anywhere) —
+    ADVICE r3: the block-identity key used .to_pydatetime() and crashed."""
+    import pandas as pd
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.stages.windows import row_number_partitioned
+
+    df = pd.DataFrame(
+        {
+            "sid": [f"s{i:03d}" for i in range(40)],
+            "grp": ["g1", "g2"] * 20,
+            "seq": list(range(40)),
+        }
+    )
+    out = (
+        row_number_partitioned(
+            rd.from_pandas(df).repartition(5), "grp", "seq", "sid", num_partitions=5
+        )
+        .to_pandas()
+        .sort_values(["grp", "seq"])
+        .reset_index(drop=True)
+    )
+    want = df.sort_values(["grp", "seq"]).groupby("grp").cumcount() + 1
+    assert out["rn"].tolist() == want.tolist()
