@@ -855,8 +855,32 @@ def _golden_customers(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     from entity_matching_datasets_ray.pipelines import relational as R
 
+    # ORDER MATTERS for driver visibility: the r3 driver checked only
+    # ~50 of 69 queries, and several end-to-end pipelines had never
+    # received a driver row. Dict order puts those first (VERDICT r3
+    # item 6); correctness is order-independent.
     return {
-        # relational core (SQL oracles)
+        # end-to-end pipelines + dedup/ANN/text families (driver-priority)
+        "linkage_two_table_planted": _linkage_two_table_planted,
+        "linkage_incremental": _linkage_incremental,
+        "linkage_synth_f1": _linkage_synth_f1,
+        "linkage_clusters": _linkage_clusters,
+        "minhash_dedup_documents": _minhash_dedup_documents,
+        "simhash_dedup_documents": _simhash_dedup_documents,
+        "embedding_dedup_pairs": _embedding_dedup_pairs,
+        "ann_bruteforce": _ann_bruteforce,
+        "ann_lsh": _ann_lsh,
+        "ann_ivf": _ann_ivf,
+        "ann_lsh_planted": _ann_lsh_planted,
+        "ann_ivf_planted": _ann_ivf_planted,
+        "annotate_documents": _annotate_documents,
+        "langid_histogram": _langid_histogram,
+        "chunk_documents": _chunk_documents,
+        "quality_filter_documents": _quality_filter_documents,
+        "media_features": _media_features,
+        "ditto_convert": _ditto_convert,
+        "enrich_beer": _enrich_beer,
+        # relational core + windows + remaining oracled queries
         "pricing_summary": R.q_pricing_summary,
         "top_orders": R.q_top_orders,
         "revenue_by_nation": R.q_revenue_by_nation,
@@ -906,26 +930,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_planted_pairs": _minhash_planted_pairs,
         "ngram_jaccard_planted": _ngram_jaccard_planted,
         "simhash_planted_pairs": _simhash_planted_pairs,
-        # linkage + training-data ops (rows-only)
-        "linkage_clusters": _linkage_clusters,
-        "linkage_two_table_planted": _linkage_two_table_planted,
-        "linkage_synth_f1": _linkage_synth_f1,
-        "linkage_incremental": _linkage_incremental,
-        "minhash_dedup_documents": _minhash_dedup_documents,
-        "simhash_dedup_documents": _simhash_dedup_documents,
-        "embedding_dedup_pairs": _embedding_dedup_pairs,
-        "ann_bruteforce": _ann_bruteforce,
-        "ann_lsh": _ann_lsh,
-        "ann_ivf": _ann_ivf,
-        "ann_lsh_planted": _ann_lsh_planted,
-        "ann_ivf_planted": _ann_ivf_planted,
-        "annotate_documents": _annotate_documents,
-        "langid_histogram": _langid_histogram,
-        "chunk_documents": _chunk_documents,
-        "quality_filter_documents": _quality_filter_documents,
-        "media_features": _media_features,
-        "ditto_convert": _ditto_convert,
-        "enrich_beer": _enrich_beer,
         "reference_conformance": _reference_conformance,
     }
 
