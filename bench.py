@@ -151,113 +151,91 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ray.shutdown()
         return result
 
-    # --- flagship over the driver documents table ----------------------
-    t0 = time.time()
-    dclusters = run_linkage(
-        docs_from_documents_table(sf_dir),
-        LinkageConfig(
-            num_partitions=num_cpus,
-            scorer_concurrency=(max(1, scorer_hi // 2), scorer_hi),
-        ),
-        # a timings dict materializes the candidate stream, which makes
-        # the floored scorer pool safe (no upstream to starve)
-        timings={},
-    )
-    dclusters.count()
-    queries["linkage_documents"] = round(time.time() - t0, 2)
+    # --- sub-queries ----------------------------------------------------
+    # The host's background load varies ~2x between runs (ROUND_NOTES), so
+    # the EXPENSIVE sub-queries get the same best-of-N treatment as the
+    # headline (VERDICT r3 item 2): every attempt is reported, the best is
+    # the least-contended estimate. Cheap queries run once.
+    subq_repeats = max(1, int(os.environ.get("GRAFT_BENCH_SUBQUERY_REPEATS", "2")))
+    expensive = {"linkage_documents", "minhash_dedup", "jaccard_join", "linkage_two_table"}
+    query_attempts: dict[str, list] = {}
 
-    # --- relational core ------------------------------------------------
-    t0 = time.time()
-    R.q_pricing_summary(sf_dir).to_pandas()
-    queries["pricing_summary"] = round(time.time() - t0, 2)
+    def timed(name: str, thunk):
+        walls = []
+        for _ in range(subq_repeats if name in expensive else 1):
+            t0 = time.time()
+            thunk()
+            walls.append(round(time.time() - t0, 2))
+        queries[name] = min(walls)
+        if len(walls) > 1:
+            query_attempts[name] = walls
 
-    t0 = time.time()
-    R.q_events_hourly(sf_dir).to_pandas()
-    queries["events_hourly"] = round(time.time() - t0, 2)
+    # flagship over the driver documents table
+    def _linkage_documents():
+        run_linkage(
+            docs_from_documents_table(sf_dir),
+            LinkageConfig(
+                num_partitions=num_cpus,
+                scorer_concurrency=(max(1, scorer_hi // 2), scorer_hi),
+            ),
+            # a timings dict materializes the candidate stream, which makes
+            # the floored scorer pool safe (no upstream to starve)
+            timings={},
+        ).count()
 
-    t0 = time.time()
-    R.q_revenue_by_nation(sf_dir).to_pandas()
-    queries["revenue_by_nation"] = round(time.time() - t0, 2)
+    timed("linkage_documents", _linkage_documents)
 
-    # --- training-data ops ----------------------------------------------
-    t0 = time.time()
-    ddocs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    minhash_dedup_pairs(ddocs, num_partitions=num_cpus).count()
-    queries["minhash_dedup"] = round(time.time() - t0, 2)
+    # relational core
+    timed("pricing_summary", lambda: R.q_pricing_summary(sf_dir).to_pandas())
+    timed("events_hourly", lambda: R.q_events_hourly(sf_dir).to_pandas())
+    timed("revenue_by_nation", lambda: R.q_revenue_by_nation(sf_dir).to_pandas())
 
-    t0 = time.time()
-    annotate_documents(
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    ).count()
-    queries["annotate_documents"] = round(time.time() - t0, 2)
+    # training-data ops
+    def _docs():
+        return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
-    # --- time-ordered + hygiene ops -------------------------------------
-    t0 = time.time()
-    R.q_events_sliding_3h(sf_dir).to_pandas()
-    queries["events_sliding_3h"] = round(time.time() - t0, 2)
+    timed("minhash_dedup", lambda: minhash_dedup_pairs(_docs(), num_partitions=num_cpus).count())
+    timed("annotate_documents", lambda: annotate_documents(_docs()).count())
 
-    t0 = time.time()
-    R.q_events_asof(sf_dir).to_pandas()
-    queries["events_asof"] = round(time.time() - t0, 2)
+    # time-ordered + hygiene ops
+    timed("events_sliding_3h", lambda: R.q_events_sliding_3h(sf_dir).to_pandas())
+    timed("events_asof", lambda: R.q_events_asof(sf_dir).to_pandas())
 
-    t0 = time.time()
     from entity_matching_datasets_ray.stages.text_analysis import chunk_documents
 
-    chunk_documents(
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    ).count()
-    queries["chunk_documents"] = round(time.time() - t0, 2)
+    timed("chunk_documents", lambda: chunk_documents(_docs()).count())
 
-    t0 = time.time()
     from entity_matching_datasets_ray.stages.dedup import jaccard_similarity_join
 
-    jaccard_similarity_join(
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
-        threshold=0.7,
-        num_partitions=num_cpus,
-    ).count()
-    queries["jaccard_join"] = round(time.time() - t0, 2)
+    timed(
+        "jaccard_join",
+        lambda: jaccard_similarity_join(_docs(), threshold=0.7, num_partitions=num_cpus).count(),
+    )
 
-    t0 = time.time()
     from datetime import timedelta
 
     from entity_matching_datasets_ray.stages.windows import sessionize
 
-    sessionize(
-        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]),
-        key_col="user_id",
-        ts_col="ts",
-        id_col="event_id",
-        gap=timedelta(minutes=30),
-        num_partitions=num_cpus,
-    ).count()
-    queries["sessionize_events"] = round(time.time() - t0, 2)
+    timed(
+        "sessionize_events",
+        lambda: sessionize(
+            rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]),
+            key_col="user_id",
+            ts_col="ts",
+            id_col="event_id",
+            gap=timedelta(minutes=30),
+            num_partitions=num_cpus,
+        ).count(),
+    )
 
-    t0 = time.time()
     import __ray_entry__ as _E
 
-    _E._interval_join_events(sf_dir).count()
-    queries["interval_join"] = round(time.time() - t0, 2)
-
-    t0 = time.time()
-    _E._media_dedup_pairs(sf_dir).count()
-    queries["media_dedup"] = round(time.time() - t0, 2)
-
-    t0 = time.time()
-    _E._golden_customers(sf_dir).count()
-    queries["golden_customers"] = round(time.time() - t0, 2)
-
-    t0 = time.time()
-    _E._vocab_topk_documents(sf_dir).count()
-    queries["vocab_topk"] = round(time.time() - t0, 2)
-
-    t0 = time.time()
-    _E._linkage_two_table_planted(sf_dir).count()
-    queries["linkage_two_table"] = round(time.time() - t0, 2)
-
-    t0 = time.time()
-    _E._curate_training_data(sf_dir).count()
-    queries["curate_training_data"] = round(time.time() - t0, 2)
+    timed("interval_join", lambda: _E._interval_join_events(sf_dir).count())
+    timed("media_dedup", lambda: _E._media_dedup_pairs(sf_dir).count())
+    timed("golden_customers", lambda: _E._golden_customers(sf_dir).count())
+    timed("vocab_topk", lambda: _E._vocab_topk_documents(sf_dir).count())
+    timed("linkage_two_table", lambda: _E._linkage_two_table_planted(sf_dir).count())
+    timed("curate_training_data", lambda: _E._curate_training_data(sf_dir).count())
 
     result = {
         "metric": "linkage_synth_sec",
@@ -272,6 +250,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "pairs_per_sec": round(pairs_scored / linkage_sec, 1),
         "phases": timings,
         "headline_attempts_sec": attempts,
+        "query_attempts_sec": query_attempts,
         "scoring_pairs_per_sec": round(
             pairs_scored / max(1e-9, timings.get("scoring_sec", linkage_sec)), 1
         ),
