@@ -76,3 +76,15 @@ def test_computers_beats_reference_finetuned_log():
     m = C.evaluate_corpus("computer", num_partitions=4)
     assert m["n_test"] == 1098
     assert m["test_f1"] >= 0.72, m
+
+
+def test_dblp_acm_raw_two_table_end_to_end():
+    """VERDICT r3 item 10: link the two RAW DBLP / ACM tables
+    (reconstructed from the pair CSVs, deduped by content hash) end to
+    end — blocking recall of the labeled matches must be near-total and
+    end-to-end F1 close to the pair-level conformance fit (0.940)."""
+    m = C.evaluate_two_table_raw("DBLACM", num_partitions=4)
+    assert m["blocking_recall"] >= 0.98, m
+    assert m["end_to_end_f1"] >= 0.90, m  # measured 0.931 (pair-level fit: 0.940)
+    # sanity: the sides really deduplicated (DBLP ~2.6k, ACM ~2.3k)
+    assert 2000 <= m["n_a"] <= 3000 and 2000 <= m["n_b"] <= 3000, m
