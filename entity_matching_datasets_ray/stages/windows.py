@@ -689,26 +689,98 @@ def rank_features(
     num_partitions: int | None = None,
 ):
     """percent_rank() and ntile(k) OVER (PARTITION BY key ORDER BY ts, id)
-    — composed from ``row_number_partitioned`` (global sort + per-block
-    count carry) plus one per-key count aggregate joined back on the key.
+    — JOIN-FREE since r4: one global sort, and the per-block summary walk
+    runs both FORWARD (rows of the block's first key in preceding blocks
+    — the row_number offset) and BACKWARD (rows of the block's last key
+    in following blocks), so every block knows each of its keys' TOTAL
+    count locally: interior keys are wholly in-block, only the edge keys
+    need the two carries. Replaces the per-key count aggregate + hash
+    join (one fewer all-to-all; also Ray 2.49's hash join intermittently
+    built schema-less empty partitions at tiny scale and crashed in
+    finalize — observed on events_rank_features at sf0.001).
 
     Formulas match SQL exactly: percent_rank = (rn-1)/(n-1) (0.0 when
     n == 1), ntile bucket = smallest valid SQL tile assignment, computed
     with the standard remainder rule (first ``n % k`` tiles get
     ``ceil(n/k)`` rows) — integer math both sides.
-    """
-    from ray.data.aggregate import Count
 
-    rn = row_number_partitioned(ds, key_col, ts_col, id_col, num_partitions=num_partitions)
-    counts = ds.groupby(key_col).aggregate(Count(alias_name="__n"))
-    joined = rn.join(
-        counts, join_type="inner", num_partitions=num_partitions or 8,
-        on=(key_col,), right_on=(key_col,),
+    Driver state: one summary row per block, O(num_blocks).
+    """
+    import ray
+
+    sel = ds.select_columns([key_col, ts_col, id_col])
+    if num_partitions:
+        sel = sel.repartition(num_partitions)
+    s = sel.sort([key_col, ts_col, id_col]).materialize()
+
+    def block_summary(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                columns=["blk_key", "blk_ts", "blk_id", "first_key", "last_key",
+                         "n_first", "n_last"]
+            )
+        df = df.sort_values([key_col, ts_col, id_col])
+        fk, lk = df[key_col].iloc[0], df[key_col].iloc[-1]
+        return pd.DataFrame(
+            [
+                {
+                    "blk_key": fk,
+                    "blk_ts": df[ts_col].iloc[0],
+                    "blk_id": df[id_col].iloc[0],
+                    "first_key": fk,
+                    "last_key": lk,
+                    "n_first": int((df[key_col] == fk).sum()),
+                    "n_last": int((df[key_col] == lk).sum()),
+                }
+            ]
+        )
+
+    summaries = (
+        s.map_batches(block_summary, batch_format="pandas", batch_size=None)
+        .to_pandas()
+        .sort_values(["blk_key", "blk_ts", "blk_id"])
+        .reset_index(drop=True)
     )
+    carry: dict = {}
+    # forward: rows of each block's FIRST key in preceding blocks
+    run_key, run_cnt = None, 0
+    for _, row in summaries.iterrows():
+        bkey = (row["first_key"], _key_scalar(row["blk_ts"]), _key_scalar(row["blk_id"]))
+        off = run_cnt if row["first_key"] == run_key else 0
+        carry[bkey] = [off, 0]
+        base = off + row["n_last"] if row["last_key"] == row["first_key"] else row["n_last"]
+        run_key, run_cnt = row["last_key"], int(base)
+    # backward: rows of each block's LAST key in following blocks
+    run_key, run_cnt = None, 0
+    for _, row in summaries.iloc[::-1].iterrows():
+        bkey = (row["first_key"], _key_scalar(row["blk_ts"]), _key_scalar(row["blk_id"]))
+        aft = run_cnt if row["last_key"] == run_key else 0
+        carry[bkey][1] = aft
+        base = aft + row["n_first"] if row["first_key"] == row["last_key"] else row["n_first"]
+        run_key, run_cnt = row["first_key"], int(base)
+    carry_ref = ray.put(carry)
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        n = df["__n"].to_numpy(dtype=np.int64)
-        r = df["rn"].to_numpy(dtype=np.int64)
+        out_cols = [id_col, key_col, ts_col, "rn"]
+        if len(df) == 0:
+            out = df[[id_col, key_col, ts_col]].copy()
+            out["rn"] = pd.Series(dtype="int64")
+            out["percent_rank"] = pd.Series(dtype="float64")
+            out["tile"] = pd.Series(dtype="int64")
+            return out
+        cm = ray.get(carry_ref)
+        df = df.sort_values([key_col, ts_col, id_col]).reset_index(drop=True)
+        fk, lk = df[key_col].iloc[0], df[key_col].iloc[-1]
+        bkey = (fk, _key_scalar(df[ts_col].iloc[0]), _key_scalar(df[id_col].iloc[0]))
+        off, aft = cm[bkey]  # strict: a missing block identity is a bug
+        keys = df[key_col].to_numpy()
+        grp = df.groupby(key_col, sort=False)
+        local = grp.cumcount().to_numpy()
+        sizes = grp[key_col].transform("size").to_numpy(dtype=np.int64)
+        is_first = keys == fk
+        is_last = keys == lk
+        r = local + 1 + np.where(is_first, off, 0)
+        n = sizes + np.where(is_first, off, 0) + np.where(is_last, aft, 0)
         pr = np.where(n > 1, (r - 1) / np.maximum(1, n - 1), 0.0)
         big = n % ntile_k               # first `big` tiles are one row larger
         size_big = -(-n // ntile_k)     # ceil(n/k)
@@ -720,9 +792,10 @@ def rank_features(
             (r - 1) // np.maximum(1, size_big) + 1,
             big + (r - 1 - cut) // np.maximum(1, size_small) + 1,
         ).astype("int64")
-        out = df[[id_col, key_col, ts_col, "rn"]].copy()
+        out = df[[id_col, key_col, ts_col]].copy()
+        out["rn"] = r.astype("int64")
         out["percent_rank"] = pr
         out["tile"] = tile
-        return out
+        return out[out_cols + ["percent_rank", "tile"]]
 
-    return joined.map_batches(finalize, batch_format="pandas")
+    return s.map_batches(finalize, batch_format="pandas", batch_size=None)
