@@ -193,13 +193,16 @@ def _emit_all(ids, left: list, right: list):
 
 
 def _cmp_arr(ids) -> np.ndarray:
-    """ids as a numpy array whose elementwise comparisons run in C:
-    object (python-str) arrays are re-materialized as fixed-width
-    unicode so the orientation min/max below is vectorized."""
-    arr = np.asarray(ids)
-    if arr.dtype == object:
-        arr = arr.astype("U")
-    return arr
+    """ids as a numpy OBJECT array: comparisons loop in C over python
+    compares, and np.where / tolist pick existing str REFERENCES instead
+    of materializing new strings. Measured against both alternatives
+    (r4): fixed-width-unicode astype loses 1.5-3x at every block size
+    (tolist re-creates every string); a per-row python loop wins below
+    ~100 rows but loses 1.7x at 1000 — object arrays are at parity small
+    and fastest large. Emission is NOT the blocking bottleneck either
+    way (~0.2 s/1.7M pairs single-thread vs the ~11 s stage wall — the
+    shuffle and key emission dominate)."""
+    return np.asarray(ids)
 
 
 def _pairs_extend(a: np.ndarray, b: np.ndarray, left: list, right: list):
