@@ -987,7 +987,15 @@ def candidate_pairs(
     )
     if delta:
         need_cols.append("is_new")
-    keyed = entities.select_columns(need_cols).map_batches(
+    # The (materialized) entity table usually sits in a handful of
+    # target-block-size-coalesced blocks, and actor-pool map_batches
+    # dispatches per BLOCK — the key-emission pool was observed running
+    # 5 tasks / 7.7 s serial UDF at 32 CPUs (ds.stats, r4). Split to at
+    # least pool width BEFORE the pool so emission actually fans out.
+    pool_hi = max(2, (num_partitions or 8) * 3 // 4)
+    keyed = entities.select_columns(need_cols).repartition(
+        max(num_partitions or 0, pool_hi, 16)
+    ).map_batches(
         FusedKeyEmitter,
         fn_constructor_args=(window, num_perm, num_bands, seed, exact_keys),
         batch_format="pyarrow",
@@ -995,7 +1003,7 @@ def candidate_pairs(
         # ~3/4 of the partition-implied cores: leaves room for the shuffle
         # aggregators running concurrently (measured faster than a full-width
         # pool at both 4 and 16 CPUs)
-        concurrency=concurrency or (1, max(2, (num_partitions or 8) * 3 // 4)),
+        concurrency=concurrency or (1, pool_hi),
     )
 
     def add_bucket(t: pa.Table) -> pa.Table:
