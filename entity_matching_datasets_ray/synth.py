@@ -330,11 +330,19 @@ def synth_docs_dataset(n_entities: int, seed: int = 42, parallelism: int = -1):
     import ray.data as rd
 
     ds = rd.range(n_entities, override_num_blocks=parallelism if parallelism > 0 else None)
-    return ds.map_batches(
+    ds = ds.map_batches(
         lambda b: docs_batch(b["id"], seed=seed),
         batch_format="numpy",
         batch_size=4096,
     )
+    if parallelism > 0:
+        # Ray bundles fused tasks by INPUT bytes: an 8-byte-id range makes
+        # the whole generated corpus a handful of task bundles no matter
+        # how many blocks we ask for, so a downstream extract would run
+        # ~5-wide (ds.stats, r4). Materialize the generated docs and split
+        # so consumers see real-sized blocks at the asked parallelism.
+        ds = ds.materialize().repartition(parallelism)
+    return ds
 
 
 PLANTED_ID_OFFSET = 1_000_000
