@@ -336,8 +336,9 @@ def run_linkage_two_table(
     symmetric-best heuristic): best-per-A and best-per-B tables (ties ->
     higher score, then smaller partner id) are computed with two tiny
     grouped reductions and intersected via a count-2 groupby — no driver
-    materialization. NOTE: the one_to_one result carries (a_id, b_id)
-    only — the intersection groupby consumes the score column.
+    materialization. The result carries (a_id, b_id, score): both sides
+    hold the same score for a pair, so a Max aggregate passes it through
+    the intersection.
     """
     import pyarrow as _pa
     import pyarrow.compute as _pc
@@ -447,7 +448,7 @@ def run_linkage_two_table(
         def pick(df: pd.DataFrame) -> pd.DataFrame:
             df = df.sort_values([key, "score", other], ascending=[True, False, True],
                                 kind="mergesort")
-            return df.drop_duplicates(key)[["a_id", "b_id"]]
+            return df.drop_duplicates(key)[["a_id", "b_id", "score"]]
 
         return (
             matches.map_batches(bucket_of, batch_format="pandas")
@@ -455,13 +456,18 @@ def run_linkage_two_table(
             .map_groups(pick, batch_format="pandas")
         )
 
+    # both sides carry the SAME score for the same pair, so Max is a
+    # passthrough — the score survives the mutual-best intersection
+    # (the r3 one_to_one dropped it; documented limitation now gone)
+    from ray.data.aggregate import Count as _Count, Max as _Max
+
     both = best_per("a_id").union(best_per("b_id"))
-    counted = both.groupby(["a_id", "b_id"]).count()
-    cnt_col = [c for c in counted.schema().names if c not in ("a_id", "b_id")][0]
+    counted = both.groupby(["a_id", "b_id"]).aggregate(
+        _Count(alias_name="__sides"), _Max("score", alias_name="score")
+    )
 
     def mutual_only(t: _pa.Table) -> _pa.Table:
-        return t.filter(_pc.equal(t.column(cnt_col), _pa.scalar(2, t.column(cnt_col).type))).select(
-            ["a_id", "b_id"]
-        )
+        keep = _pc.equal(t.column("__sides"), _pa.scalar(2, t.column("__sides").type))
+        return t.filter(keep).select(["a_id", "b_id", "score"])
 
     return counted.map_batches(mutual_only, batch_format="pyarrow")

@@ -58,3 +58,14 @@ def test_two_table_one_to_one_mutual_best(ray_session):
     assert len(one) == n
     # deterministic tie-break: equal scores -> smallest partner id (copy 0)
     assert sorted(one["a_id"]) == [f"p:{i:08d}:0" for i in range(n)]
+
+
+def test_one_to_one_keeps_scores(ray_session):
+    n = 12
+    docs_a = planted_linkage_docs(_ids(n), copies=1, first_copy=0)
+    docs_b = planted_linkage_docs(_ids(n), copies=1, first_copy=1)
+    out = run_linkage_two_table(
+        docs_a, docs_b, LinkageConfig(num_partitions=4), one_to_one=True
+    ).to_pandas()
+    assert sorted(out.columns) == ["a_id", "b_id", "score"]
+    assert len(out) == n and (out["score"] >= 0.7).all()
