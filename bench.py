@@ -314,6 +314,8 @@ def run_scaling(sf_dir: str) -> dict:
         finally:
             for b in burners:
                 b.kill()
+            for b in burners:
+                b.wait()  # reap — kill() alone leaves zombies for the run
 
     def _one_leg(ncpu: int) -> dict:
         # scaling measures the headline pipeline only (same input both runs)

@@ -38,13 +38,15 @@ def _init_ray(num_cpus: int | None):
 
 
 def _write_counted(ds, path: str) -> int:
-    """Materialize ONCE, then write + count — ``count()`` after a write on
-    a lazy Dataset re-executes the whole pipeline a second time just to
-    print a row count (ADVICE r3). On the materialized handle the count
-    is metadata-only."""
-    ds = ds.materialize()
+    """STREAMING write, then a metadata-only row count of what was
+    written. ``count()`` on the lazy Dataset would re-execute the whole
+    pipeline (ADVICE r3); materializing first would pin a possibly
+    larger-than-memory output in the object store. Parquet footers carry
+    the row counts for free."""
+    import pyarrow.dataset as pads
+
     ds.write_parquet(path)
-    return ds.count()
+    return pads.dataset(path, format="parquet").count_rows()
 
 
 def cmd_convert(args) -> int:

@@ -320,6 +320,12 @@ def _membership_join(left, right_keys, on: str, right_on: str, keep: bool,
     under the cap, the collect still enforces the hard count (the sketch
     has ~1/sqrt(k) error; the cap is a guarantee, not a heuristic).
 
+    Deliberate trade-off: when the broadcast plan wins, the right side is
+    executed twice (probe pass + collect pass) — ~0.3 s of extra work on
+    a small side, in exchange for never pulling up to ``max_broadcast_
+    keys`` pylist values into a single-threaded driver set just to learn
+    the side was too big (the at-scale failure mode the cap guarded).
+
     NULL semantics (SQL EXISTS / NOT EXISTS over an equality predicate):
     a NULL key never matches anything — NULL right keys are dropped from
     the membership set on BOTH plans, so semi drops and anti keeps
@@ -845,8 +851,10 @@ def global_quantiles(ds, value_col: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99
         n = acc.num_rows()
         if n == 0:
             return (0, None, None)
-        col = acc.to_pandas()[value_col]
-        return (n, col.iloc[0], col.iloc[-1])
+        # boundary values via 1-row slices — never copy the whole block
+        first = BlockAccessor.for_block(acc.slice(0, 1, copy=False)).to_pandas()
+        last = BlockAccessor.for_block(acc.slice(n - 1, n, copy=False)).to_pandas()
+        return (n, first[value_col].iloc[0], last[value_col].iloc[0])
 
     stats = ray.get([_nrows.remote(r) for r in refs])
     counts = [n for n, _, _ in stats]
@@ -1049,9 +1057,6 @@ def grouped_quantiles_sorted(
     from ray.data.block import BlockAccessor
 
     keys = [key_col] if isinstance(key_col, str) else list(key_col)
-
-    def _ktup(row_vals):
-        return tuple(row_vals)
 
     s = ds.select_columns(keys + [value_col]).sort(keys + [value_col]).materialize()
     refs = []

@@ -284,11 +284,20 @@ def _emit_capped_delta(
         return max(0, total - (len(left) - before))
     total = n_new * (n_new - 1) // 2 + n_new * n_old
     if total <= max_pairs:
-        ii, jj = np.triu_indices(n, 1)
-        mask = flags[ii] | flags[jj]
-        # ids sorted ascending: i < j implies ids[i] <= ids[j]
-        left.extend(arr[ii[mask]].tolist())
-        right.extend(arr[jj[mask]].tolist())
+        # per-NEW-row emission, O(total) memory — a full triu over the
+        # block would be O(n^2) even when one new row touches a 20k-old
+        # block (total = n-1 but triu = 2e8 indices). Each new row p
+        # pairs with every row after it plus every OLD row before it
+        # (new x new pairs counted once, by the later row). ids sorted
+        # ascending: orientation is positional.
+        for p in np.flatnonzero(flags):
+            if p + 1 < n:
+                left.extend([arr[p]] * (n - p - 1))
+                right.extend(arr[p + 1:].tolist())
+            pre = np.flatnonzero(~flags[:p])
+            if len(pre):
+                left.extend(arr[pre].tolist())
+                right.extend([arr[p]] * len(pre))
         return 0
     window = max(1, max_pairs // (2 * n))
     before = len(left)

@@ -138,6 +138,7 @@ def media_dedup_pairs(docs, num_partitions: int | None = 16, concurrency=(1, 4))
     """
     import pandas as pd
 
+    n_buckets = max(64, 16 * (num_partitions or 16))
     feats = featurize_media(docs, concurrency=concurrency)
 
     def add_fp(t: pa.Table) -> pa.Table:
@@ -155,8 +156,11 @@ def media_dedup_pairs(docs, num_partitions: int | None = 16, concurrency=(1, 4))
         # object (10^9 tiny calls at 10^9 media rows). Shuffle on a
         # bounded bucket of the fp instead; the pandas groupby inside
         # per_group does the per-fp work (the fusion/blocking idiom).
+        # Bucket count scales with the asked partitioning so one group
+        # is ~1/(16*partitions) of the corpus, not a fixed 1/64.
         return out.append_column(
-            "fp_bucket", pa.array((fp % np.uint64(64)).astype(np.int32), pa.int32())
+            "fp_bucket",
+            pa.array((fp % np.uint64(n_buckets)).astype(np.int32), pa.int32()),
         )
 
     def per_group(df: pd.DataFrame) -> pd.DataFrame:

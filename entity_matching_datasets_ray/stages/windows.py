@@ -48,7 +48,9 @@ def _key_scalar(v):
         return to_pydt()
     item = getattr(v, "item", None)
     if item is not None:
-        return item()
+        v = item()
+    if isinstance(v, float) and v != v:
+        return "__nan__"  # NaN != NaN would always miss the dict
     return v
 
 
@@ -652,12 +654,14 @@ def row_number_partitioned(
     # never carry)
     offsets: dict = {}
     run_key, run_cnt = None, 0
-    for _, row in summaries.iterrows():
-        bkey = (row["first_key"], _key_scalar(row["blk_ts"]), _key_scalar(row["blk_id"]))
-        off = run_cnt if row["first_key"] == run_key else 0
+    # itertuples, not iterrows: iterrows coerces all-numeric summary rows
+    # to float64, which breaks key equality for large int ids (code review)
+    for row in summaries.itertuples(index=False):
+        bkey = (row.first_key, _key_scalar(row.blk_ts), _key_scalar(row.blk_id))
+        off = run_cnt if row.first_key == run_key else 0
         offsets[bkey] = off
-        base = off + row["n_last"] if row["last_key"] == row["first_key"] else row["n_last"]
-        run_key, run_cnt = row["last_key"], int(base)
+        base = off + row.n_last if row.last_key == row.first_key else row.n_last
+        run_key, run_cnt = row.last_key, int(base)
     off_ref = ray.put(offsets)
 
     def number(df: pd.DataFrame) -> pd.DataFrame:
@@ -742,22 +746,23 @@ def rank_features(
         .reset_index(drop=True)
     )
     carry: dict = {}
+    # itertuples on both walks (dtype-preserving; see row_number note)
     # forward: rows of each block's FIRST key in preceding blocks
     run_key, run_cnt = None, 0
-    for _, row in summaries.iterrows():
-        bkey = (row["first_key"], _key_scalar(row["blk_ts"]), _key_scalar(row["blk_id"]))
-        off = run_cnt if row["first_key"] == run_key else 0
+    for row in summaries.itertuples(index=False):
+        bkey = (row.first_key, _key_scalar(row.blk_ts), _key_scalar(row.blk_id))
+        off = run_cnt if row.first_key == run_key else 0
         carry[bkey] = [off, 0]
-        base = off + row["n_last"] if row["last_key"] == row["first_key"] else row["n_last"]
-        run_key, run_cnt = row["last_key"], int(base)
+        base = off + row.n_last if row.last_key == row.first_key else row.n_last
+        run_key, run_cnt = row.last_key, int(base)
     # backward: rows of each block's LAST key in following blocks
     run_key, run_cnt = None, 0
-    for _, row in summaries.iloc[::-1].iterrows():
-        bkey = (row["first_key"], _key_scalar(row["blk_ts"]), _key_scalar(row["blk_id"]))
-        aft = run_cnt if row["last_key"] == run_key else 0
+    for row in summaries.iloc[::-1].itertuples(index=False):
+        bkey = (row.first_key, _key_scalar(row.blk_ts), _key_scalar(row.blk_id))
+        aft = run_cnt if row.last_key == run_key else 0
         carry[bkey][1] = aft
-        base = aft + row["n_first"] if row["first_key"] == row["last_key"] else row["n_first"]
-        run_key, run_cnt = row["first_key"], int(base)
+        base = aft + row.n_first if row.first_key == row.last_key else row.n_first
+        run_key, run_cnt = row.first_key, int(base)
     carry_ref = ray.put(carry)
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
