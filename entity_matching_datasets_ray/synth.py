@@ -335,13 +335,15 @@ def synth_docs_dataset(n_entities: int, seed: int = 42, parallelism: int = -1):
         batch_format="numpy",
         batch_size=4096,
     )
-    if parallelism > 0:
-        # Ray bundles fused tasks by INPUT bytes: an 8-byte-id range makes
-        # the whole generated corpus a handful of task bundles no matter
-        # how many blocks we ask for, so a downstream extract would run
-        # ~5-wide (ds.stats, r4). Materialize the generated docs and split
-        # so consumers see real-sized blocks at the asked parallelism.
-        ds = ds.materialize().repartition(parallelism)
+    # NOTE (r4): deliberately NO repartition/materialize here. Ray bundles
+    # fused tasks by INPUT bytes, so the 8-byte-id range makes downstream
+    # extract run ~5-wide at sandbox scale (~1 s of the 32-CPU headline) —
+    # but a barrier here is a full-corpus all-to-all in exactly the
+    # constrained-memory scenario the spill probe guards (materialize
+    # LIVELOCKED the 12k/256MB probe by pinning blocks; a lazy repartition
+    # still doubled its blocking wall). At real scale the input has real
+    # bytes and fans out by itself; the blocking-internal pre-split on the
+    # narrow entity table covers the stage that matters.
     return ds
 
 
