@@ -701,6 +701,46 @@ def _stratified_sample_documents(sf_dir: str):
     ).sort("doc_id")
 
 
+def _mix_training_corpus(sf_dir: str):
+    """Deterministic multi-corpus training MIXTURE (stages/splits.py::
+    mix_corpora): sample the documents corpus at 60% and its 32-token
+    chunk stream at 25% (both keyed on doc_id — SQL-reproducible hash),
+    tag provenance, and emit ONE reproducibly-interleaved stream (global
+    sort on the per-row mix_key) — the data-mixing step of an LLM
+    pretraining pipeline, with an exact oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.stages.splits import mix_corpora
+    from entity_matching_datasets_ray.stages.text_analysis import chunk_documents
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def dproj(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.string())
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "item_id": pc.binary_join_element_wise(pa.scalar("d:"), ids, "")}
+        )
+
+    def cproj(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.string())
+        cidx = pc.cast(t["chunk_index"], pa.string())
+        item = pc.binary_join_element_wise(
+            pa.scalar("c:"), ids, pa.scalar(":"), cidx, ""
+        )
+        return pa.table({"doc_id": t["doc_id"], "item_id": item})
+
+    dsrc = docs.map_batches(dproj, batch_format="pyarrow")
+    csrc = chunk_documents(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        chunk_tokens=32,
+        overlap_tokens=8,
+    ).map_batches(cproj, batch_format="pyarrow")
+    return mix_corpora([("docs", dsrc, 0.6), ("chunks", csrc, 0.25)])
+
+
 def _curate_training_data(sf_dir: str):
     """END-TO-END training-data curation — the composition a 100 TB
     pretraining pipeline actually runs, as ONE streaming Dataset chain:
@@ -877,6 +917,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_histogram": _langid_histogram,
         "chunk_documents": _chunk_documents,
         "quality_filter_documents": _quality_filter_documents,
+        "mix_training_corpus": _mix_training_corpus,
         "media_features": _media_features,
         "ditto_convert": _ditto_convert,
         "enrich_beer": _enrich_beer,
@@ -1102,6 +1143,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         # per-stratum deterministic sampling: same multiplicative hash,
         # per-language cutoffs
+        "mix_training_corpus": """
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+                FROM documents
+            ), sized AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) <= 32 THEN 1
+                            ELSE CAST(ceil((len(toks) - 32) / 24.0) AS BIGINT) + 1
+                       END AS n_chunks
+                FROM d WHERE len(toks) > 0
+            ), chunks AS (
+                SELECT doc_id, CAST(i AS BIGINT) AS chunk_index
+                FROM sized, LATERAL unnest(range(n_chunks)) AS u(i)
+            ), docs_kept AS (
+                SELECT doc_id, 'd:' || doc_id AS item_id, 'docs' AS source,
+                       CAST(((CAST(doc_id AS HUGEINT) + 1000003) * 11400714819323198485)
+                            % 18446744073709551616 % 1000000 AS BIGINT) AS mix_key
+                FROM documents
+                WHERE ((CAST(doc_id AS HUGEINT) + 0) * 11400714819323198485)
+                      % 18446744073709551616 % 1000000 < 600000
+            ), chunks_kept AS (
+                SELECT doc_id, 'c:' || doc_id || ':' || chunk_index AS item_id,
+                       'chunks' AS source,
+                       CAST(((CAST(doc_id AS HUGEINT) + 1000004) * 11400714819323198485)
+                            % 18446744073709551616 % 1000000 AS BIGINT) AS mix_key
+                FROM chunks
+                WHERE ((CAST(doc_id AS HUGEINT) + 1) * 11400714819323198485)
+                      % 18446744073709551616 % 1000000 < 250000
+            )
+            SELECT * FROM docs_kept
+            UNION ALL SELECT * FROM chunks_kept
+            ORDER BY mix_key, source, doc_id, item_id
+        """,
         "stratified_sample_documents": """
             SELECT doc_id, lang
             FROM (

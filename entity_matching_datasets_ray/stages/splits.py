@@ -146,3 +146,59 @@ def stratified_sample(
         return t.filter(pa.array(frac < cut))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def mix_corpora(
+    sources: list[tuple[str, "object", float]],
+    key_col: str = "doc_id",
+    salt: int = 0,
+):
+    """Deterministic multi-corpus TRAINING MIXTURE: sample each source at
+    its own rate, tag provenance, and give the union a reproducible
+    interleave order — the data-mixing step every LLM training pipeline
+    runs over its source corpora (web / books / code at chosen ratios).
+
+    ``sources`` is ``[(name, dataset, fraction), ...]``; every dataset
+    must share a schema and carry an integer ``key_col`` (sampling and
+    interleaving hash the SQL-reproducible multiplicative hash of that
+    key, so the whole operator has an exact oracle).
+
+    Mechanics — all deterministic, resharding-stable, resumable:
+    - per-source ``deterministic_sample`` at ``fraction`` with a
+      per-source salt (zero shuffle; the same key always makes the same
+      keep/drop decision, so a re-run 100 TB mix is identical);
+    - a ``source`` provenance tag and a ``mix_key`` interleave position
+      (hash of the key under a different per-source salt — sources
+      interleave uniformly rather than concatenating);
+    - ONE global sort on (mix_key, source, key) = the reproducible
+      shuffled training order. The sort is the operator's single
+      all-to-all, and it is exactly the "deterministic shuffle" a
+      training-data run needs anyway.
+    """
+    import pyarrow.compute as pc
+
+    if not sources:
+        raise ValueError("mix_corpora needs at least one source")
+    names = [n for n, _, _ in sources]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate source names: {names}")
+
+    parts = []
+    for i, (name, ds, fraction) in enumerate(sources):
+        kept = deterministic_sample(ds, key_col, fraction, salt=salt + i)
+
+        def tag(t: pa.Table, name=name, i=i) -> pa.Table:
+            # interleave salt offset is a large odd constant so the
+            # mix_key stream is unrelated to the sampling decision
+            mk = _hash_frac(t.column(key_col), salt + 1_000_003 + i)
+            out = t.append_column(
+                "source", pa.array([name] * t.num_rows, pa.string())
+            )
+            return out.append_column("mix_key", pa.array(mk, pa.int64()))
+
+        parts.append(kept.map_batches(tag, batch_format="pyarrow"))
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out.sort(["mix_key", "source", key_col])

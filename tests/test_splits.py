@@ -141,3 +141,30 @@ def test_stratified_sample_rates():
     assert abs(got.get("en", 0) / base["en"] - 0.5) < 0.02
     assert abs(got.get("de", 0) / base["de"] - 0.25) < 0.02
     assert got.get("fr", 0) == 0  # default_fraction=0 drops unlisted strata
+
+
+def test_mix_corpora_deterministic_and_rated(ray_session):
+    """Multi-corpus mixture: per-source rates hold (hash-slice sampling),
+    provenance tags ride along, the interleave is reproducible under
+    repartitioning, and sources genuinely interleave (not concatenate)."""
+    from entity_matching_datasets_ray.stages.splits import mix_corpora
+
+    n = 4000
+    a = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "v": ["a"] * n})
+    b = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "v": ["b"] * n})
+    srcs = [("A", rd.from_pandas(a), 0.5), ("B", rd.from_pandas(b).repartition(7), 0.2)]
+    out = mix_corpora(srcs, "doc_id").to_pandas()
+    counts = out["source"].value_counts()
+    assert abs(counts["A"] / n - 0.5) < 0.05
+    assert abs(counts["B"] / n - 0.2) < 0.05
+    # reproducible under different input partitioning
+    srcs2 = [("A", rd.from_pandas(a).repartition(5), 0.5), ("B", rd.from_pandas(b), 0.2)]
+    out2 = mix_corpora(srcs2, "doc_id").to_pandas()
+    key = ["mix_key", "source", "doc_id"]
+    pd.testing.assert_frame_equal(
+        out.sort_values(key).reset_index(drop=True)[["source", "doc_id"]],
+        out2.sort_values(key).reset_index(drop=True)[["source", "doc_id"]],
+    )
+    # interleaved: the first 10% of the stream already contains both sources
+    head = out.head(len(out) // 10)
+    assert set(head["source"]) == {"A", "B"}
