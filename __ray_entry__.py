@@ -741,6 +741,28 @@ def _mix_training_corpus(sf_dir: str):
     return mix_corpora([("docs", dsrc, 0.6), ("chunks", csrc, 0.25)])
 
 
+def _pack_training_sequences(sf_dir: str):
+    """Sequence packing (stages/windows.py::pack_token_budget): the
+    32-token chunk stream, deterministically ordered by (doc_id,
+    chunk_index), is concatenated and cut every 512 tokens — each chunk
+    gets the training sequence id and in-sequence token offset of its
+    first token. A distributed exclusive prefix sum (block-summary
+    carry); integer math, exact SQL window-cumsum oracle."""
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.stages.text_analysis import chunk_documents
+    from entity_matching_datasets_ray.stages.windows import pack_token_budget
+
+    chunks = chunk_documents(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        chunk_tokens=32,
+        overlap_tokens=8,
+    ).drop_columns(["chunk_text"])
+    return pack_token_budget(
+        chunks, ["doc_id", "chunk_index"], "n_chunk_tokens", budget=512
+    )
+
+
 def _curate_training_data(sf_dir: str):
     """END-TO-END training-data curation — the composition a 100 TB
     pretraining pipeline actually runs, as ONE streaming Dataset chain:
@@ -918,6 +940,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": _chunk_documents,
         "quality_filter_documents": _quality_filter_documents,
         "mix_training_corpus": _mix_training_corpus,
+        "pack_training_sequences": _pack_training_sequences,
         "media_features": _media_features,
         "ditto_convert": _ditto_convert,
         "enrich_beer": _enrich_beer,
@@ -1176,6 +1199,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM docs_kept
             UNION ALL SELECT * FROM chunks_kept
             ORDER BY mix_key, source, doc_id, item_id
+        """,
+        "pack_training_sequences": """
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+                FROM documents
+            ), sized AS (
+                SELECT doc_id, toks, len(toks) AS n,
+                       CASE WHEN len(toks) <= 32 THEN 1
+                            ELSE CAST(ceil((len(toks) - 32) / 24.0) AS BIGINT) + 1
+                       END AS n_chunks
+                FROM d WHERE len(toks) > 0
+            ), chunks AS (
+                SELECT doc_id,
+                       CAST(i AS BIGINT) AS chunk_index,
+                       len(toks[(i * 24 + 1):(i * 24 + 32)]) AS n_chunk_tokens
+                FROM sized, LATERAL unnest(range(n_chunks)) AS u(i)
+            ), cum AS (
+                SELECT doc_id, chunk_index, n_chunk_tokens,
+                       SUM(n_chunk_tokens) OVER (
+                           ORDER BY doc_id, chunk_index
+                           ROWS UNBOUNDED PRECEDING
+                       ) - n_chunk_tokens AS cum_excl
+                FROM chunks
+            )
+            SELECT doc_id, chunk_index, n_chunk_tokens,
+                   CAST(cum_excl // 512 AS BIGINT) AS seq_id,
+                   CAST(cum_excl % 512 AS BIGINT) AS tok_offset
+            FROM cum
+            ORDER BY doc_id, chunk_index
         """,
         "stratified_sample_documents": """
             SELECT doc_id, lang

@@ -804,3 +804,81 @@ def rank_features(
         return out[out_cols + ["percent_rank", "tile"]]
 
     return s.map_batches(finalize, batch_format="pandas", batch_size=None)
+
+
+def pack_token_budget(
+    ds,
+    order_cols: list[str],
+    token_col: str,
+    budget: int,
+    num_partitions: int | None = None,
+):
+    """Contiguous token-budget SEQUENCE PACKING — the step after corpus
+    mixing in a pretraining pipeline: concatenate the (deterministically
+    ordered) stream and cut it every ``budget`` tokens. Each row gets
+    ``seq_id`` (which training sequence its first token lands in) and
+    ``tok_offset`` (its first token's position inside that sequence):
+    ``seq_id = exclusive_prefix_sum(tokens) // budget``.
+
+    ``order_cols`` must be a UNIQUE composite (same contract as
+    ``row_number_partitioned``'s (key, ts, id)) so the global order — and
+    therefore the packing — is deterministic under any partitioning.
+
+    Scale mechanics (a distributed exclusive PREFIX SUM, the
+    block-summary-carry pattern): ONE global sort on ``order_cols``;
+    each sorted block ships one summary row (block identity + its token
+    total); the driver's running sum gives each block its global token
+    offset (O(num_blocks) state); a second pass assigns
+    ``offset + local exclusive cumsum`` vectorized per block. Integer
+    math end to end — bit-identical to a SQL window cumsum oracle.
+    """
+    import ray
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive: {budget}")
+    sel = ds  # keep all columns: packing annotates, it doesn't project
+    if num_partitions:
+        sel = sel.repartition(num_partitions)
+    s = sel.sort(order_cols).materialize()
+
+    def block_summary(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(columns=[*(f"k{i}" for i in range(len(order_cols))), "toks"])
+        df = df.sort_values(order_cols)
+        row = {f"k{i}": df[c].iloc[0] for i, c in enumerate(order_cols)}
+        row["toks"] = int(df[token_col].sum())
+        return pd.DataFrame([row])
+
+    kcols = [f"k{i}" for i in range(len(order_cols))]
+    summaries = (
+        s.map_batches(block_summary, batch_format="pandas", batch_size=None)
+        .to_pandas()
+        .sort_values(kcols)
+        .reset_index(drop=True)
+    )
+    offsets: dict = {}
+    running = 0
+    for row in summaries.itertuples(index=False):
+        bkey = tuple(_key_scalar(getattr(row, k)) for k in kcols)
+        offsets[bkey] = running
+        running += int(row.toks)
+    off_ref = ray.put(offsets)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            out = df.copy()
+            out["seq_id"] = pd.Series(dtype="int64")
+            out["tok_offset"] = pd.Series(dtype="int64")
+            return out
+        om = ray.get(off_ref)
+        df = df.sort_values(order_cols).reset_index(drop=True)
+        bkey = tuple(_key_scalar(df[c].iloc[0]) for c in order_cols)
+        off = om[bkey]  # strict: a missing block identity is a bug
+        toks = df[token_col].to_numpy(dtype=np.int64)
+        cum_excl = off + np.cumsum(toks) - toks
+        out = df.copy()
+        out["seq_id"] = (cum_excl // budget).astype("int64")
+        out["tok_offset"] = (cum_excl % budget).astype("int64")
+        return out
+
+    return s.map_batches(assign, batch_format="pandas", batch_size=None)

@@ -436,3 +436,36 @@ def test_row_number_non_datetime_order_column(ray_session):
     )
     want = df.sort_values(["grp", "seq"]).groupby("grp").cumcount() + 1
     assert out["rn"].tolist() == want.tolist()
+
+
+def test_pack_token_budget_matches_serial(ray_session):
+    """Distributed exclusive prefix-sum packing == a serial cumsum, under
+    any partitioning; offsets stay within budget; sequences are dense."""
+    import pandas as pd
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.stages.windows import pack_token_budget
+
+    rng = np.random.RandomState(4)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(3000, dtype=np.int64),
+            "idx": np.zeros(3000, dtype=np.int64),
+            "n_tok": rng.randint(1, 40, 3000).astype(np.int64),
+        }
+    )
+    out = (
+        pack_token_budget(
+            rd.from_pandas(df).repartition(9), ["doc_id", "idx"], "n_tok", 256,
+            num_partitions=9,
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "idx"])
+        .reset_index(drop=True)
+    )
+    cum_excl = df["n_tok"].cumsum() - df["n_tok"]
+    assert list(out["seq_id"]) == list(cum_excl // 256)
+    assert list(out["tok_offset"]) == list(cum_excl % 256)
+    assert (out["tok_offset"] < 256).all()
+    seqs = sorted(out["seq_id"].unique())
+    assert seqs == list(range(seqs[-1] + 1))  # dense sequence ids
