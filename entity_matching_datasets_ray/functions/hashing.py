@@ -81,14 +81,60 @@ def minhash_signature_matrix(
     collisions only affect candidate recall marginally; verification is
     exact downstream)."""
     num_perm = a.shape[0]
-    out = np.full((len(hash_lists), num_perm), _MAX64, dtype=np.uint64)
-    for i, h in enumerate(hash_lists):
-        if h.size == 0:
-            continue
-        with np.errstate(over="ignore"):
-            vals = (a[:, None] * h[None, :]) + b[:, None]
-        out[i] = vals.min(axis=1)
+    n = len(hash_lists)
+    out = np.full((n, num_perm), _MAX64, dtype=np.uint64)
+    lens = np.fromiter((h.size for h in hash_lists), dtype=np.int64, count=n)
+    nz = lens > 0
+    if not nz.any():
+        return out
+    # One flat (num_perm, total_tokens) multiply-add for the whole batch,
+    # then a segmented min per document (reduceat over the doc boundaries)
+    # — bit-identical to the per-doc loop this replaces, without n Python
+    # iterations and n tiny broadcasts.
+    flat = np.concatenate([h for h in hash_lists if h.size])
+    with np.errstate(over="ignore"):
+        vals = (a[:, None] * flat[None, :]) + b[:, None]
+    nz_lens = lens[nz]
+    starts = np.zeros(nz_lens.shape[0], dtype=np.int64)
+    np.cumsum(nz_lens[:-1], out=starts[1:])
+    out[nz] = np.minimum.reduceat(vals, starts, axis=1).T
     return out
+
+
+# splitmix64 constants — public-domain mixer (Steele et al., "Fast
+# Splittable Pseudorandom Number Generators", OOPSLA'14).
+_SM64_GAMMA = np.uint64(0x9E3779B97F4A7C15)
+_SM64_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM64_M2 = np.uint64(0x94D049BB133111EB)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        x = (x ^ (x >> np.uint64(30))) * _SM64_M1
+        x = (x ^ (x >> np.uint64(27))) * _SM64_M2
+    return x ^ (x >> np.uint64(31))
+
+
+def band_key_matrix(sigs: np.ndarray, num_bands: int, rows_per_band: int) -> np.ndarray:
+    """Vectorized LSH band keys: uint64[n_docs, num_bands].
+
+    Chains each band's ``rows_per_band`` signature values through a
+    splitmix64-style combine (seeded by the band index), fully vectorized
+    over (docs x bands). Key VALUES differ from the scalar blake2b
+    ``band_key`` — only the grouping matters for blocking (identical band
+    bytes -> identical key; distinct bytes collide w.p. ~2^-64), and every
+    internal banding consumer uses this matrix form, so groupings agree
+    everywhere.
+    """
+    n = sigs.shape[0]
+    bands = sigs.reshape(n, num_bands, rows_per_band)
+    band_idx = np.arange(num_bands, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        h = _splitmix64(band_idx * _SM64_GAMMA + np.uint64(1))[None, :]
+        h = np.broadcast_to(h, (n, num_bands)).copy()
+        for j in range(rows_per_band):
+            h = _splitmix64(h ^ bands[:, :, j])
+    return h
 
 
 def band_key(signature: np.ndarray, band: int, rows_per_band: int) -> int:

@@ -43,7 +43,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.hashing import (
-    band_keys,
+    band_key_matrix,
     make_perm_params,
     minhash_signature_matrix,
     token_hashes,
@@ -603,24 +603,19 @@ class BandEmitter:
         return np.array(out, dtype=np.uint64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_pylist()
         names = batch.column("norm_name").to_pylist()
         hash_lists = [
             self._hashes(nn) if nn else np.empty(0, dtype=np.uint64) for nn in names
         ]
         sigs = minhash_signature_matrix(hash_lists, self.a, self.b)
-        out_ids: list[str] = []
-        out_band: list[int] = []
-        for i, doc_id in enumerate(doc_ids):
-            if hash_lists[i].size == 0:
-                continue  # empty names never block
-            for bk in band_keys(sigs[i], self.num_bands, self.rows_per_band):
-                out_ids.append(doc_id)
-                out_band.append(bk)
+        # empty names never block
+        nz = np.fromiter((h.size > 0 for h in hash_lists), dtype=bool, count=len(hash_lists))
+        keys = band_key_matrix(sigs[nz], self.num_bands, self.rows_per_band)
+        doc_idx = np.repeat(np.flatnonzero(nz), self.num_bands)
         return pa.table(
             {
-                "doc_id": pa.array(out_ids, pa.string()),
-                "band": pa.array(out_band, pa.uint64()),
+                "doc_id": batch.column("doc_id").take(pa.array(doc_idx)),
+                "band": pa.array(keys.ravel(), pa.uint64()),
             }
         )
 
@@ -869,85 +864,121 @@ class FusedKeyEmitter:
         self.exact_keys = exact_keys
         self._key_memo: dict[tuple, int] = {}
 
-    def _k64(self, kind: int, payload: str) -> int:
+    def _k64_distinct(self, kind: int, payloads: np.ndarray) -> np.ndarray:
+        """uint64 key per payload, hashing each DISTINCT (kind, payload)
+        once (blake2b, memoized across batches). Bit-identical to the
+        scalar per-row loop this replaces: the payload vocabulary (first
+        SNM tokens, exact-key values) is tiny relative to row count, so
+        the factorize turns O(rows) blake2b calls into O(distinct)."""
+        codes, uniques = pd.factorize(payloads)
         memo = self._key_memo
-        k = (kind, payload)
-        h = memo.get(k)
-        if h is None:
-            h = int.from_bytes(
-                hashlib.blake2b(f"{kind}\x1f{payload}".encode(), digest_size=8).digest(),
-                "big",
-            )
-            if len(memo) >= 2_000_000:
-                memo.clear()
-            memo[k] = h
-        return h
+        keys = np.empty(len(uniques), dtype=np.uint64)
+        for j, payload in enumerate(uniques):
+            k = (kind, payload)
+            h = memo.get(k)
+            if h is None:
+                h = int.from_bytes(
+                    hashlib.blake2b(
+                        f"{kind}\x1f{payload}".encode(), digest_size=8
+                    ).digest(),
+                    "big",
+                )
+                if len(memo) >= 2_000_000:
+                    memo.clear()
+                memo[k] = h
+            keys[j] = h
+        return keys[codes]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        doc_ids = batch.column("doc_id").to_pylist()
-        snm_keys = batch.column("snm_key").to_pylist()
-        names = batch.column("norm_name").to_pylist()
         # delta blocking: an is_new tag rides along with every key row
         has_new = "is_new" in batch.schema.names
-        new_flags = batch.column("is_new").to_pylist() if has_new else None
-        exact_cols = {
-            c: batch.column(c).to_pylist()
-            for cols in self.exact_keys
-            for c in cols
-        }
-        out_key: list[int] = []
-        out_kind: list[int] = []
-        out_doc: list[str] = []
-        out_sort: list[str] = []
-        out_new: list[int] = []
+        doc_id_col = batch.column("doc_id").combine_chunks()
+        new_col = batch.column("is_new").combine_chunks() if has_new else None
+        snm_col = batch.column("snm_key").combine_chunks()
 
-        def emit(key: int, kind: int, i: int, sort: str):
-            out_key.append(key)
-            out_kind.append(kind)
-            out_doc.append(doc_ids[i])
-            out_sort.append(sort)
-            if new_flags is not None:
-                out_new.append(new_flags[i])
+        # one (row_index, key64, kind) triple list per section; doc_id /
+        # is_new / sort_key are gathered once at the end via Arrow take
+        idx_parts: list[np.ndarray] = []
+        key_parts: list[np.ndarray] = []
+        kind_parts: list[np.ndarray] = []
 
         # SNM: first sorted token keys (windowed later, needs sort_key)
-        for i in range(n):
-            sk = snm_keys[i]
-            if sk:
-                first = sk.split(" ", 1)[0]
-                emit(self._k64(self.KIND_SNM, first), self.KIND_SNM, i, sk)
+        snm = snm_col.to_pandas()
+        snm_mask = snm.notna().to_numpy() & (snm != "").to_numpy()
+        snm_idx = np.flatnonzero(snm_mask)
+        if snm_idx.size:
+            firsts = (
+                snm.iloc[snm_idx].str.split(" ", n=1).str[0].to_numpy(dtype=object)
+            )
+            idx_parts.append(snm_idx)
+            key_parts.append(self._k64_distinct(self.KIND_SNM, firsts))
+            kind_parts.append(np.full(snm_idx.size, self.KIND_SNM, dtype=np.int8))
 
-        # LSH bands (reuses BandEmitter's shingle-memoized minhash)
+        # LSH bands (shingle-memoized minhash; band keys as one vectorized
+        # (docs x bands) splitmix matrix — see hashing.band_key_matrix)
+        names = batch.column("norm_name").to_pylist()
         hash_lists = [
             self.bands._hashes(nn) if nn else np.empty(0, dtype=np.uint64)
             for nn in names
         ]
         sigs = minhash_signature_matrix(hash_lists, self.bands.a, self.bands.b)
-        for i in range(n):
-            if hash_lists[i].size == 0:
-                continue
-            for bk in band_keys(sigs[i], self.bands.num_bands, self.bands.rows_per_band):
-                emit(bk, self.KIND_LSH, i, "")
+        nz = np.fromiter(
+            (h.size > 0 for h in hash_lists), dtype=bool, count=len(hash_lists)
+        )
+        nz_idx = np.flatnonzero(nz)
+        if nz_idx.size:
+            bands = band_key_matrix(
+                sigs[nz], self.bands.num_bands, self.bands.rows_per_band
+            )
+            idx_parts.append(np.repeat(nz_idx, self.bands.num_bands))
+            key_parts.append(bands.ravel())
+            kind_parts.append(
+                np.full(nz_idx.size * self.bands.num_bands, self.KIND_LSH, dtype=np.int8)
+            )
 
         # exact keys (null-keyed rows excluded)
         for ki, cols in enumerate(self.exact_keys):
-            col_lists = [exact_cols[c] for c in cols]
-            for i in range(n):
-                vals = [cl[i] for cl in col_lists]
-                if any(v is None or v == "" for v in vals):
-                    continue
-                payload = f"{ki}\x1f" + "\x1f".join(str(v) for v in vals)
-                emit(self._k64(self.KIND_EXACT, payload), self.KIND_EXACT, i, "")
+            series = [batch.column(c).to_pandas() for c in cols]
+            valid = np.ones(batch.num_rows, dtype=bool)
+            for s in series:
+                valid &= s.notna().to_numpy() & (s != "").to_numpy()
+            vidx = np.flatnonzero(valid)
+            if not vidx.size:
+                continue
+            payload = np.full(vidx.size, f"{ki}", dtype=object)
+            for s in series:
+                payload = payload + "\x1f" + s.iloc[vidx].astype(str).to_numpy(dtype=object)
+            idx_parts.append(vidx)
+            key_parts.append(self._k64_distinct(self.KIND_EXACT, payload))
+            kind_parts.append(np.full(vidx.size, self.KIND_EXACT, dtype=np.int8))
 
-        key_arr = np.fromiter(out_key, dtype=np.uint64, count=len(out_key))
+        if idx_parts:
+            idx = np.concatenate(idx_parts)
+            keys = np.concatenate(key_parts)
+            kinds = np.concatenate(kind_parts)
+        else:
+            idx = np.empty(0, dtype=np.int64)
+            keys = np.empty(0, dtype=np.uint64)
+            kinds = np.empty(0, dtype=np.int8)
+        take_idx = pa.array(idx)
+        # sort_key only matters for SNM rows (window order); others ""
+        n_snm = snm_idx.size if snm_idx is not None else 0
+        sort_keys = pa.concat_arrays(
+            [
+                snm_col.take(pa.array(snm_idx)).cast(pa.string())
+                if n_snm
+                else pa.array([], pa.string()),
+                pa.array(np.full(len(idx) - n_snm, "", dtype=object), pa.string()),
+            ]
+        )
         cols_out = {
-            "key64": pa.array(key_arr, pa.uint64()),
-            "kind": pa.array(out_kind, pa.int8()),
-            "doc_id": pa.array(out_doc, pa.string()),
-            "sort_key": pa.array(out_sort, pa.string()),
+            "key64": pa.array(keys, pa.uint64()),
+            "kind": pa.array(kinds, pa.int8()),
+            "doc_id": doc_id_col.take(take_idx).cast(pa.string()),
+            "sort_key": sort_keys,
         }
-        if new_flags is not None:
-            cols_out["is_new"] = pa.array(out_new, pa.int8())
+        if new_col is not None:
+            cols_out["is_new"] = new_col.take(take_idx).cast(pa.int8())
         return pa.table(cols_out)
 
 

@@ -28,7 +28,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions.hashing import (
-    band_keys,
+    band_key_matrix,
     hamming64,
     hash64,
     make_perm_params,
@@ -134,24 +134,19 @@ def make_minhash_bands_fn(id_col, text_col, num_perm, num_bands, shingle_n, seed
 
     def bands_fn(batch: pa.Table) -> pa.Table:
         a, b = make_perm_params(num_perm, seed)
-        ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
         hash_lists = [
             token_hashes(sorted(ngram_shingles((s or "").lower(), shingle_n)))
             for s in texts
         ]
         sigs = minhash_signature_matrix(hash_lists, a, b)
-        out_ids, out_band = [], []
-        for i, did in enumerate(ids):
-            if hash_lists[i].size == 0:
-                continue
-            for bk in band_keys(sigs[i], num_bands, rows_per_band):
-                out_ids.append(did)
-                out_band.append(bk)
+        nz = np.fromiter((h.size > 0 for h in hash_lists), dtype=bool, count=len(hash_lists))
+        keys = band_key_matrix(sigs[nz], num_bands, rows_per_band)
+        doc_idx = np.repeat(np.flatnonzero(nz), num_bands)
         return pa.table(
             {
-                "doc_id": pa.array(out_ids, type=batch.schema.field(id_col).type),
-                "band": pa.array(out_band, pa.uint64()),
+                "doc_id": batch.column(id_col).combine_chunks().take(pa.array(doc_idx)),
+                "band": pa.array(keys.ravel(), pa.uint64()),
             }
         )
 
