@@ -15,9 +15,17 @@ Two keyed paths:
   mod-2^64 wraparound. Deliberately SQL-reproducible (DuckDB HUGEINT:
   ``(key * 11400714819323198485) % 18446744073709551616``), so the whole
   operator is oracle-checkable end to end.
+- string keys: FNV-1a 64 over Unicode CODE POINTS, vectorized by character
+  position (no per-row Python). Also SQL-reproducible — DuckDB::
+    list_reduce(list_prepend(CAST(14695981039346656037 AS UBIGINT),
+      list_transform(regexp_extract_all(s, '.'), c -> CAST(unicode(c) AS UBIGINT))),
+      (h, cp) -> CAST((CAST(xor(h, cp) AS HUGEINT) * 1099511628211)
+                      % 18446744073709551616 AS UBIGINT))
+  (verified equal incl. non-ASCII), so string-keyed splits/samples/mixes are
+  oracle-checkable end to end too.
 - any other dtype: ``pd.util.hash_pandas_object`` (deterministic across
   processes/workers — fixed default key), not SQL-expressible; queries over
-  string keys get the rows-only check.
+  such keys get the rows-only check.
 """
 
 from __future__ import annotations
@@ -54,13 +62,48 @@ def _hash_int_keys(keys: np.ndarray, salt: int) -> np.ndarray:
     return (h % np.uint64(_RESOLUTION)).astype(np.int64)
 
 
+# FNV-1a 64-bit (public domain, Fowler/Noll/Vo)
+_FNV_OFFSET = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
+
+
+def _fnv1a_str(strs: np.ndarray) -> np.ndarray:
+    """Vectorized FNV-1a over Unicode code points (uint64 per string).
+
+    ``astype('U')`` packs the batch into one fixed-width UCS-4 matrix; the
+    fold loops over CHARACTER POSITIONS (bounded by the longest key, ~tens)
+    with every position vectorized across all rows — no per-row Python.
+    Code-point basis (not UTF-8 bytes) so DuckDB ``unicode(c)`` reproduces
+    it exactly (see module docstring) for the oracle.
+    """
+    n = len(strs)
+    u = strs.astype("U")
+    if u.dtype.itemsize == 0:  # all-empty batch
+        return np.full(n, _FNV_OFFSET, np.uint64)
+    mat = u.view(np.uint32).reshape(n, -1).astype(np.uint64)
+    h = np.full(n, _FNV_OFFSET, np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(mat.shape[1]):
+            cp = mat[:, j]
+            m = cp != 0  # NUL = padding; never in real keys
+            h[m] = (h[m] ^ cp[m]) * _FNV_PRIME
+    return h
+
+
 def _hash_frac(col: pa.ChunkedArray, salt: int) -> np.ndarray:
     """Column -> deterministic position in [0, _RESOLUTION): the
-    SQL-reproducible multiplicative hash for integer keys, pandas siphash
-    for everything else."""
+    SQL-reproducible multiplicative hash for integer keys, the
+    SQL-reproducible FNV-1a code-point hash for string keys, pandas
+    siphash for everything else."""
     if pa.types.is_integer(col.type):
         keys = col.combine_chunks().to_numpy(zero_copy_only=False)
         return _hash_int_keys(keys, salt)
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        s = pd.Series(col.to_pandas()).fillna("")
+        if salt:
+            s = s + f"|{salt}"
+        h = _fnv1a_str(s.to_numpy(dtype=object))
+        return (h % np.uint64(_RESOLUTION)).astype(np.int64)
     s = pd.Series(col.to_pandas())
     if salt:
         s = s.astype(str) + f"|{salt}"
@@ -152,16 +195,28 @@ def mix_corpora(
     sources: list[tuple[str, "object", float]],
     key_col: str = "doc_id",
     salt: int = 0,
+    columns: list[str] | None = None,
+    tiebreak_cols: tuple[str, ...] = (),
 ):
     """Deterministic multi-corpus TRAINING MIXTURE: sample each source at
     its own rate, tag provenance, and give the union a reproducible
     interleave order — the data-mixing step every LLM training pipeline
     runs over its source corpora (web / books / code at chosen ratios).
 
-    ``sources`` is ``[(name, dataset, fraction), ...]``; every dataset
-    must share a schema and carry an integer ``key_col`` (sampling and
-    interleaving hash the SQL-reproducible multiplicative hash of that
-    key, so the whole operator has an exact oracle).
+    ``sources`` is ``[(name, dataset, fraction), ...]``. ``key_col`` may
+    be integer OR string — both hash SQL-reproducibly (multiplicative /
+    FNV-1a code-point, see ``_hash_frac``), so the whole operator has an
+    exact oracle either way. Heterogeneous source schemas are supported
+    via ``columns``: each source is projected to that shared column set
+    (which must include ``key_col``) before the union; with
+    ``columns=None`` all sources must already share a schema.
+
+    Reproducible ORDER requires unique sort keys: the final sort is
+    ``(mix_key, source, key_col, *tiebreak_cols)``. If ``key_col`` can
+    repeat within one source (e.g. many chunks per doc), pass
+    ``tiebreak_cols`` naming column(s) that make rows unique per source —
+    otherwise tied rows land in nondeterministic relative order across
+    runs/partitionings (the set of rows is still deterministic).
 
     Mechanics — all deterministic, resharding-stable, resumable:
     - per-source ``deterministic_sample`` at ``fraction`` with a
@@ -170,21 +225,23 @@ def mix_corpora(
     - a ``source`` provenance tag and a ``mix_key`` interleave position
       (hash of the key under a different per-source salt — sources
       interleave uniformly rather than concatenating);
-    - ONE global sort on (mix_key, source, key) = the reproducible
-      shuffled training order. The sort is the operator's single
-      all-to-all, and it is exactly the "deterministic shuffle" a
-      training-data run needs anyway.
+    - ONE global sort on the key tuple above = the reproducible shuffled
+      training order. The sort is the operator's single all-to-all, and
+      it is exactly the "deterministic shuffle" a training-data run
+      needs anyway.
     """
-    import pyarrow.compute as pc
-
     if not sources:
         raise ValueError("mix_corpora needs at least one source")
     names = [n for n, _, _ in sources]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate source names: {names}")
+    if columns is not None and key_col not in columns:
+        raise ValueError(f"columns={columns} must include key_col={key_col!r}")
 
     parts = []
     for i, (name, ds, fraction) in enumerate(sources):
+        if columns is not None:
+            ds = ds.select_columns(list(columns))
         kept = deterministic_sample(ds, key_col, fraction, salt=salt + i)
 
         def tag(t: pa.Table, name=name, i=i) -> pa.Table:
@@ -201,4 +258,4 @@ def mix_corpora(
     out = parts[0]
     for p in parts[1:]:
         out = out.union(p)
-    return out.sort(["mix_key", "source", key_col])
+    return out.sort(["mix_key", "source", key_col, *tiebreak_cols])

@@ -168,3 +168,51 @@ def test_mix_corpora_deterministic_and_rated(ray_session):
     # interleaved: the first 10% of the stream already contains both sources
     head = out.head(len(out) // 10)
     assert set(head["source"]) == {"A", "B"}
+
+
+def test_mix_corpora_string_keys_hetero_schema_tiebreak(ray_session):
+    """String item keys hash via the SQL-reproducible FNV path, sources
+    with extra columns are reconciled by the `columns` projection, and
+    tiebreak_cols make the interleave ORDER itself reproducible when the
+    primary key repeats within a source."""
+    from entity_matching_datasets_ray.stages.splits import mix_corpora
+
+    n = 2000
+    a = pd.DataFrame(
+        {"doc_id": np.arange(n, dtype=np.int64),
+         "item_id": [f"a:{i}" for i in range(n)]}
+    )
+    # wider schema + repeated doc_id per item (chunk-like)
+    b = pd.DataFrame(
+        {"doc_id": np.repeat(np.arange(n // 2, dtype=np.int64), 2),
+         "item_id": [f"b:{i // 2}:{i % 2}" for i in range(n)],
+         "extra": ["x"] * n}
+    )
+    srcs = [("A", rd.from_pandas(a), 0.5), ("B", rd.from_pandas(b).repartition(7), 0.4)]
+    out = mix_corpora(
+        srcs, key_col="item_id", columns=["doc_id", "item_id"]
+    ).to_pandas()
+    assert list(out.columns) == ["doc_id", "item_id", "source", "mix_key"]
+    counts = out["source"].value_counts()
+    assert abs(counts["A"] / n - 0.5) < 0.05
+    assert abs(counts["B"] / n - 0.4) < 0.05
+    # the emitted ORDER (not just the set) is identical across partitionings
+    # because item_id is unique per source — no tie columns needed here
+    srcs2 = [("A", rd.from_pandas(a).repartition(5), 0.5), ("B", rd.from_pandas(b), 0.4)]
+    out2 = mix_corpora(
+        srcs2, key_col="item_id", columns=["doc_id", "item_id"]
+    ).to_pandas()
+    pd.testing.assert_frame_equal(out.reset_index(drop=True), out2.reset_index(drop=True))
+
+    # tiebreak_cols: keying on the REPEATING doc_id, order is only
+    # deterministic once item_id breaks the tie
+    srcs3 = [("B", rd.from_pandas(b).repartition(7), 1.0)]
+    o1 = mix_corpora(srcs3, key_col="doc_id", columns=["doc_id", "item_id"],
+                     tiebreak_cols=("item_id",)).to_pandas()
+    srcs4 = [("B", rd.from_pandas(b).repartition(3), 1.0)]
+    o2 = mix_corpora(srcs4, key_col="doc_id", columns=["doc_id", "item_id"],
+                     tiebreak_cols=("item_id",)).to_pandas()
+    pd.testing.assert_frame_equal(o1.reset_index(drop=True), o2.reset_index(drop=True))
+
+    with pytest.raises(ValueError, match="must include key_col"):
+        mix_corpora(srcs3, key_col="doc_id", columns=["item_id"])
