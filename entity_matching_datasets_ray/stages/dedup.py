@@ -963,6 +963,29 @@ def jaccard_similarity_join(
         starts = np.concatenate(
             ([0], np.flatnonzero(band_vals[1:] != band_vals[:-1]) + 1, [len(bdf)])
         )
+
+        # -- canonical-band (exactly-once) emission --------------------------
+        # A pair sharing k prefix tokens is a candidate in k bands (measured
+        # 4.2x duplication on the low-vocab bench corpus). PPJoin-style
+        # canonicalization: the pair is EMITTED only by the band whose token
+        # hash is the SMALLEST among the two docs' shared prefix-token
+        # hashes, checked vectorized against per-doc PREFIX bitsets (bit
+        # position = rank of the band hash). Kills both the 4x duplicated
+        # verify work and the entire cross-band dedup shuffle that used to
+        # follow — the broadcast plan's output is unique by construction.
+        # pbits is at most as large as the verify bitset matrix `bits`
+        # (prefix tokens ⊆ vocabulary), so the BROADCAST_MAX_BYTES gate
+        # above bounds it too (2x budget worst case, both matrices).
+        band_order = np.unique(band_vals)  # sorted distinct band hashes
+        row_rank = np.searchsorted(band_order, band_vals)
+        group_ranks = np.searchsorted(band_order, band_vals[starts[:-1]])
+        pwords = max(1, (len(band_order) + 63) // 64)
+        pbits = np.zeros((len(idx_map), pwords), np.uint64)
+        np.bitwise_or.at(
+            pbits,
+            (bdf["pos"].to_numpy(), row_rank >> 6),
+            np.uint64(1) << (row_rank & 63).astype(np.uint64),
+        )
         flat_ns = bdf["n_tok"].to_numpy(dtype=np.float64)
         flat_pos = bdf["pos"].to_numpy()
         flat_ids = bdf["doc_id"].to_numpy()
@@ -999,14 +1022,19 @@ def jaccard_similarity_join(
                         {"band_ord": bo, "i_lo": int(a), "i_hi": int(b), "n_pairs": np_slice}
                     )
 
-        blob_ref = ray.put((starts, flat_pos, flat_ns, flat_ids, bits, ntok))
+        blob_ref = ray.put(
+            (starts, flat_pos, flat_ns, flat_ids, bits, ntok, pbits, group_ranks)
+        )
 
         def fused_verify(t: pa.Table) -> pd.DataFrame:
-            """Fused emit+verify for a batch of work items: exact Jaccard
-            for the whole emission vector via bitset gather +
-            popcount(AND) — candidates die in the task that created them,
-            nothing unverified is ever shuffled."""
-            starts_, fpos, fns, fids, bits_, ntok_ = ray.get(blob_ref)
+            """Fused emit+canonicalize+verify for a batch of work items:
+            the canonical-band check (lowest shared prefix-band bit ==
+            this band) drops cross-band duplicates BEFORE the Jaccard
+            popcount, so exact Jaccard runs once per distinct pair via
+            bitset gather + popcount(AND) — candidates die in the task
+            that created them, nothing unverified or duplicated is ever
+            shuffled."""
+            starts_, fpos, fns, fids, bits_, ntok_, pbits_, granks_ = ray.get(blob_ref)
             lefts, rights, sims = [], [], []
             for bo, ilo, ihi in zip(
                 t.column("band_ord").to_pylist(),
@@ -1034,6 +1062,24 @@ def jaccard_similarity_join(
                 offs = np.concatenate(([0], np.cumsum(cnt)[:-1]))
                 ri = np.arange(total) - np.repeat(offs, cnt) + li + 1
                 pos = fpos[s:e]
+                # canonical-band filter: keep only pairs whose smallest
+                # shared prefix-band rank IS this band (exactly-once
+                # emission; with max_pairs_per_block set, a pair truncated
+                # out of its canonical band is dropped — the cap is the
+                # documented opt-in approximation valve)
+                sp = pbits_[pos[li]] & pbits_[pos[ri]]
+                nzw = sp != np.uint64(0)
+                first_w = np.argmax(nzw, axis=1)
+                w = sp[np.arange(len(sp)), first_w]
+                with np.errstate(over="ignore"):
+                    low = w & (~w + np.uint64(1))  # lowest set bit (w != 0:
+                    # the generating band's token is in BOTH prefixes)
+                bitidx = first_w * 64 + _popcount64(low - np.uint64(1))
+                keep = bitidx == granks_[bo]
+                if not keep.any():
+                    continue
+                li = li[keep]
+                ri = ri[keep]
                 inter = (
                     _popcount64(bits_[pos[li]] & bits_[pos[ri]]).sum(axis=1).astype(np.int64)
                 )
@@ -1056,15 +1102,15 @@ def jaccard_similarity_join(
                         "jaccard": pd.Series([], dtype="float64"),
                     }
                 )
-            # within-task dedup; cross-band duplicates (identical jaccard)
-            # fall to the bucketed drop_duplicates below
+            # no dedup needed anywhere: the canonical-band filter makes
+            # every pair exactly-once across ALL bands and tasks
             return pd.DataFrame(
                 {
                     "left_id": np.concatenate(lefts),
                     "right_id": np.concatenate(rights),
                     "jaccard": np.concatenate(sims),
                 }
-            ).drop_duplicates(["left_id", "right_id"])
+            )
 
         import ray.data as _rd
 
@@ -1089,28 +1135,14 @@ def jaccard_similarity_join(
         n_tasks = min(len(items), max(2 * hi, int(np.ceil(total_pairs / TARGET_PAIRS))))
         per_task = max(1, -(-total_pairs // n_tasks))
         idf["grp"] = ((np.cumsum(idf["n_pairs"].to_numpy()) - 1) // per_task).astype(np.int64)
-        verified = (
+        # canonical-band emission makes the verified stream unique by
+        # construction — the cross-band dedup shuffle this plan used to
+        # end with (bucket groupby + drop_duplicates over every verified
+        # pair) is gone entirely.
+        return (
             _rd.from_pandas(idf)
             .groupby("grp")
             .map_groups(fused_verify, batch_format="pyarrow")
-        )
-
-        def add_pair_bucket(t: pa.Table) -> pa.Table:
-            df = t.select(["left_id", "right_id"]).to_pandas()
-            h = pd.util.hash_pandas_object(df, index=False).to_numpy(dtype=np.uint64)
-            return t.append_column(
-                "pbucket", pa.array((h % np.uint64(num_buckets)).astype(np.int32), pa.int32())
-            )
-
-        def drop_dup(df: pd.DataFrame) -> pd.DataFrame:
-            return df.drop_duplicates(["left_id", "right_id"])[
-                ["left_id", "right_id", "jaccard"]
-            ]
-
-        return (
-            verified.map_batches(add_pair_bucket, batch_format="pyarrow")
-            .groupby("pbucket", num_partitions=num_partitions)
-            .map_groups(drop_dup, batch_format="pandas")
         )
 
     cands = (
