@@ -58,6 +58,99 @@ def _cents(col) -> pa.Array:
     return pc.cast(pc.round(pc.multiply(col, pa.scalar(100.0))), pa.int64())
 
 
+def block_carry(
+    ds,
+    order_cols: list[str],
+    summarize,
+    summary_cols: list[str],
+    walk,
+    apply,
+    num_partitions: int | None = None,
+    select_cols: list[str] | None = None,
+):
+    """The distributed block-summary-carry pattern, centralized (VERDICT r4
+    item 5): ONE global sort; each sorted block ships one tiny summary row;
+    the driver walks the O(num_blocks) summary table in block order and
+    hands each block a carry state; a second pass applies it per block.
+    This is how every order-dependent operator (lag / row_number /
+    percent_rank / sessionize / prefix-sum packing) avoids whole-key
+    groups: a key spanning a billion rows costs one summary row per block.
+
+    Contracts the helper enforces so call sites can't drift:
+    - batch == block (``batch_size=None``) on both passes, over the SAME
+      materialized sorted dataset — the block set is identical by
+      construction;
+    - block identity = ``_key_scalar``-normalized first-row ``order_cols``
+      tuple, computed the same way on the driver and in the worker;
+    - STRICT carry lookup: a missing or duplicate block identity raises
+      (it means the batch==block invariant broke), never defaults to 0.
+
+    Callers provide only the operator logic:
+    - ``summarize(sorted_df) -> dict`` of SCALAR fields (``summary_cols``
+      names them, for empty-block schema stability);
+    - ``walk(summaries: list[dict]) -> list[state]`` aligned with block
+      order (runs on the driver; may scan forward, backward, or both);
+    - ``apply(sorted_df, state) -> DataFrame`` (``state=None`` for an
+      empty block — return the empty output schema).
+    """
+    import ray
+
+    sel = ds.select_columns(select_cols) if select_cols else ds
+    if num_partitions:
+        sel = sel.repartition(num_partitions)
+    s = sel.sort(order_cols).materialize()
+    kcols = [f"blk{i}" for i in range(len(order_cols))]
+
+    def _summary(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(columns=[*kcols, *summary_cols])
+        df = df.sort_values(order_cols)
+        row = {k: df[c].iloc[0] for k, c in zip(kcols, order_cols)}
+        row.update(summarize(df))
+        return pd.DataFrame([row])
+
+    sdf = (
+        s.map_batches(_summary, batch_format="pandas", batch_size=None)
+        .to_pandas()
+        .sort_values(kcols)
+        .reset_index(drop=True)
+    )
+    # column-wise extraction (Series.tolist), never iterrows: iterrows
+    # row-coerces mixed dtypes to float64, breaking key equality for
+    # large int ids (the r4 itertuples lesson, now in one place)
+    idents = [
+        tuple(_key_scalar(v) for v in vals)
+        for vals in zip(*(sdf[k].tolist() for k in kcols))
+    ]
+    states = walk(sdf.drop(columns=kcols).to_dict("records"))
+    if len(states) != len(idents):
+        raise ValueError(
+            f"walk returned {len(states)} states for {len(idents)} blocks"
+        )
+    carry = dict(zip(idents, states))
+    if len(carry) != len(idents):
+        raise ValueError(
+            "duplicate block identity in carry map — order_cols are not "
+            f"unique across blocks: {len(idents) - len(carry)} collisions"
+        )
+    carry_ref = ray.put(carry)
+
+    def _apply(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return apply(df, None)
+        cm = ray.get(carry_ref)
+        df = df.sort_values(order_cols).reset_index(drop=True)
+        bkey = tuple(_key_scalar(df[c].iloc[0]) for c in order_cols)
+        if bkey not in cm:  # strict: a missing identity is a bug, not 0
+            raise KeyError(
+                f"block identity {bkey!r} missing from carry map — "
+                "batch==block invariant violated"
+            )
+        return apply(df, cm[bkey])
+
+    return s.map_batches(_apply, batch_format="pandas", batch_size=None)
+
+
 def sliding_window_agg(
     ds,
     ts_col: str,
@@ -120,67 +213,35 @@ def lag_partitioned(
     """SQL ``lag(...) OVER (PARTITION BY key ORDER BY ts, id)``:
     each row gets the previous row's id and value within its key.
 
-    Scale-safe mechanics (no whole-key pandas group): one global sort on
-    (key, ts, id); within each sorted block prev = shift(1) masked where
-    the key changes; the only cross-block state is ONE carry row per
-    block (its last row), ordered by block start on the driver so each
-    block knows its predecessor's last (key, id, value). A key spanning
-    many blocks costs one carry row per block, never one task per key.
+    Scale-safe mechanics: the shared ``block_carry`` pattern — within each
+    sorted block prev = shift(1) masked where the key changes; the carry
+    into block i is block i-1's single last row (whatever key it belongs
+    to). A key spanning many blocks costs one carry row per block, never
+    one task per key.
     """
-    import ray
 
-    sel = ds.select_columns([key_col, ts_col, id_col, value_col])
-    if num_partitions:
-        sel = sel.repartition(num_partitions)
-    s = sel.sort([key_col, ts_col, id_col]).materialize()
+    def summarize(df: pd.DataFrame) -> dict:
+        return {
+            "last_key": df[key_col].iloc[-1],
+            "last_id": float(df[id_col].iloc[-1]),
+            "last_value": float(df[value_col].iloc[-1]),
+        }
 
-    def block_carry(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame(
-                columns=["blk_key", "blk_ts", "blk_id", "last_key", "last_id", "last_value"]
-            )
-        df = df.sort_values([key_col, ts_col, id_col])
-        return pd.DataFrame(
-            [
-                {
-                    "blk_key": df[key_col].iloc[0],
-                    "blk_ts": df[ts_col].iloc[0],
-                    "blk_id": int(df[id_col].iloc[0]),
-                    "last_key": df[key_col].iloc[-1],
-                    "last_id": float(df[id_col].iloc[-1]),
-                    "last_value": float(df[value_col].iloc[-1]),
-                }
-            ]
-        )
+    def walk(summaries: list[dict]) -> list:
+        states, prev = [], None
+        for row in summaries:
+            states.append(prev)
+            prev = (row["last_key"], row["last_id"], row["last_value"])
+        return states
 
-    carries = (
-        s.map_batches(block_carry, batch_format="pandas", batch_size=None)
-        .to_pandas()
-        .sort_values(["blk_key", "blk_ts", "blk_id"])
-        .reset_index(drop=True)
-    )
-    # carry into block i = block i-1's last row (the immediately preceding
-    # row in global (key, ts, id) order, whatever key it belongs to)
-    carry_map: dict = {}
-    prev = None
-    for _, row in carries.iterrows():
-        key = (row["blk_key"], row["blk_ts"].to_pydatetime(), int(row["blk_id"]))
-        carry_map[key] = prev
-        prev = (row["last_key"], row["last_id"], row["last_value"])
-    carry_ref = ray.put(carry_map)
-
-    def fill(df: pd.DataFrame) -> pd.DataFrame:
+    def apply(df: pd.DataFrame, carry) -> pd.DataFrame:
         if len(df) == 0:
             return pd.DataFrame(
                 columns=[id_col, key_col, ts_col, "prev_" + id_col, "prev_" + value_col]
             )
-        cm = ray.get(carry_ref)
-        df = df.sort_values([key_col, ts_col, id_col]).reset_index(drop=True)
-        bkey = (df[key_col].iloc[0], df[ts_col].iloc[0].to_pydatetime(), int(df[id_col].iloc[0]))
         prev_id = df[id_col].astype("float64").shift(1)
         prev_val = df[value_col].astype("float64").shift(1)
         same = df[key_col].eq(df[key_col].shift(1))
-        carry = cm.get(bkey)
         if carry is not None and carry[0] == df[key_col].iloc[0]:
             prev_id.iloc[0] = carry[1]
             prev_val.iloc[0] = carry[2]
@@ -192,7 +253,16 @@ def lag_partitioned(
         out["prev_" + value_col] = prev_val
         return out
 
-    return s.map_batches(fill, batch_format="pandas", batch_size=None)
+    return block_carry(
+        ds,
+        [key_col, ts_col, id_col],
+        summarize,
+        ["last_key", "last_id", "last_value"],
+        walk,
+        apply,
+        num_partitions=num_partitions,
+        select_cols=[key_col, ts_col, id_col, value_col],
+    )
 
 
 def asof_join(
@@ -345,22 +415,14 @@ def sessionize(
     ``session_id = "<key>:<1-based session index>"`` — equivalent to the
     SQL lag-gap-flag + running-sum window idiom.
 
-    Scale mechanics (the ``lag_partitioned`` carry pattern, extended with
-    a session-count prefix sum): ONE global sort on (key, ts, id); each
-    block resolves sessions locally; the only cross-block state is one
-    summary row per block (first/last row + the last key's in-block
-    session-start count). The driver walks the tiny summary table in
-    order and hands each block (a) whether its first row starts a new
-    session and (b) the session-index offset for its first key — a key
-    spanning a billion rows costs one summary row per block, never a
-    whole-key pandas group.
+    Scale mechanics (the shared ``block_carry`` pattern, extended with a
+    session-count prefix sum): each block resolves sessions locally; the
+    cross-block state per block is its first/last row + the last key's
+    in-block session-start count; the driver walk hands each block (a)
+    whether its first row starts a new session and (b) the session-index
+    offset for its first key — a key spanning a billion rows costs one
+    summary row per block, never a whole-key pandas group.
     """
-    import ray
-
-    sel = ds.select_columns([key_col, ts_col, id_col])
-    if num_partitions:
-        sel = sel.repartition(num_partitions)
-    s = sel.sort([key_col, ts_col, id_col]).materialize()
 
     def _starts(df: pd.DataFrame) -> pd.Series:
         """is-new-session per row with in-block prev; first row -> True."""
@@ -368,70 +430,45 @@ def sessionize(
         same = df[key_col].eq(df[key_col].shift(1))
         return ~same | ((df[ts_col] - prev_ts) > gap)
 
-    def block_summary(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame(
-                columns=[
-                    "first_key", "first_ts", "first_id",
-                    "last_key", "last_ts", "last_id", "n_last_key_sessions",
-                ]
-            )
-        df = df.sort_values([key_col, ts_col, id_col]).reset_index(drop=True)
+    def summarize(df: pd.DataFrame) -> dict:
+        df = df.reset_index(drop=True)
         starts = _starts(df)
         last_key = df[key_col].iloc[-1]
-        n_last = int(starts[(df[key_col] == last_key).to_numpy()].sum())
-        return pd.DataFrame(
-            [
-                {
-                    "first_key": df[key_col].iloc[0],
-                    "first_ts": df[ts_col].iloc[0],
-                    "first_id": df[id_col].iloc[0],
-                    "last_key": last_key,
-                    "last_ts": df[ts_col].iloc[-1],
-                    "last_id": df[id_col].iloc[-1],
-                    "n_last_key_sessions": n_last,
-                }
-            ]
-        )
+        return {
+            "first_key": df[key_col].iloc[0],
+            "first_ts": df[ts_col].iloc[0],
+            "last_key": last_key,
+            "last_ts": df[ts_col].iloc[-1],
+            "n_last_key_sessions": int(starts[(df[key_col] == last_key).to_numpy()].sum()),
+        }
 
-    summaries = (
-        s.map_batches(block_summary, batch_format="pandas", batch_size=None)
-        .to_pandas()
-        .sort_values(["first_key", "first_ts", "first_id"])
-        .reset_index(drop=True)
-    )
+    def walk(summaries: list[dict]) -> list:
+        # state per block = (first_is_new, first_key_offset)
+        states = []
+        prev_key = prev_ts = None
+        prev_count = 0  # sessions of prev_key seen up to the previous block
+        for row in summaries:
+            if prev_key is not None and row["first_key"] == prev_key:
+                first_is_new = (row["first_ts"] - prev_ts) > gap
+                offset = prev_count
+            else:
+                first_is_new = True
+                offset = 0
+            states.append((bool(first_is_new), int(offset)))
+            n_last = int(row["n_last_key_sessions"])
+            if row["last_key"] == row["first_key"]:
+                # summarize counted the first row as a start; subtract if
+                # the driver resolved it as a continuation
+                prev_count = offset + n_last - (0 if first_is_new else 1)
+            else:
+                prev_count = n_last
+            prev_key, prev_ts = row["last_key"], row["last_ts"]
+        return states
 
-    # sequential prefix walk over the (tiny) per-block summary table:
-    # resolution[block first row] = (first_is_new, first_key_offset)
-    resolution: dict = {}
-    prev_key = prev_ts = None
-    prev_count = 0  # sessions of prev_key seen up to the previous block
-    for _, row in summaries.iterrows():
-        bkey = (row["first_key"], row["first_ts"].to_pydatetime(), row["first_id"])
-        if prev_key is not None and row["first_key"] == prev_key:
-            first_is_new = (row["first_ts"] - prev_ts) > gap
-            offset = prev_count
-        else:
-            first_is_new = True
-            offset = 0
-        resolution[bkey] = (bool(first_is_new), int(offset))
-        n_last = int(row["n_last_key_sessions"])
-        if row["last_key"] == row["first_key"]:
-            # block_summary counted the first row as a start; subtract if
-            # the driver resolved it as a continuation
-            prev_count = offset + n_last - (0 if first_is_new else 1)
-        else:
-            prev_count = n_last
-        prev_key, prev_ts = row["last_key"], row["last_ts"]
-    res_ref = ray.put(resolution)
-
-    def fill(df: pd.DataFrame) -> pd.DataFrame:
+    def apply(df: pd.DataFrame, state) -> pd.DataFrame:
         if len(df) == 0:
             return pd.DataFrame(columns=[id_col, key_col, ts_col, "session_id"])
-        res = ray.get(res_ref)
-        df = df.sort_values([key_col, ts_col, id_col]).reset_index(drop=True)
-        bkey = (df[key_col].iloc[0], df[ts_col].iloc[0].to_pydatetime(), df[id_col].iloc[0])
-        first_is_new, offset = res[bkey]
+        first_is_new, offset = state
         starts = _starts(df).to_numpy(copy=True)
         starts[0] = first_is_new
         idx = (
@@ -445,7 +482,16 @@ def sessionize(
         out["session_id"] = df[key_col].astype(str) + ":" + pd.Series(idx).astype(str)
         return out
 
-    return s.map_batches(fill, batch_format="pandas", batch_size=None)
+    return block_carry(
+        ds,
+        [key_col, ts_col, id_col],
+        summarize,
+        ["first_key", "first_ts", "last_key", "last_ts", "n_last_key_sessions"],
+        walk,
+        apply,
+        num_partitions=num_partitions,
+        select_cols=[key_col, ts_col, id_col],
+    )
 
 
 def interval_join(
@@ -607,81 +653,58 @@ def row_number_partitioned(
     """SQL ``row_number() OVER (PARTITION BY key ORDER BY ts, id)`` —
     scale-safe general window numbering.
 
-    Same mechanics as ``lag_partitioned``: ONE global sort on
-    (key, ts, id), local ``cumcount`` within each sorted block, and the
-    only cross-block state is a tiny per-block summary (first/last key +
-    their in-block row counts). The driver scans the summaries in block
-    order keeping one running (key, count) pair, so a key spanning many
-    blocks costs one summary row per block — never a whole-key pandas
-    group (the r02 low-cardinality-PARTITION-BY lesson).
+    The shared ``block_carry`` pattern: local ``cumcount`` within each
+    sorted block; the per-block summary is first/last key + their
+    in-block row counts; the driver walk keeps one running (key, count)
+    pair, so a key spanning many blocks costs one summary row per block —
+    never a whole-key pandas group (the r02 low-cardinality-PARTITION-BY
+    lesson).
     """
-    import ray
 
-    sel = ds.select_columns([key_col, ts_col, id_col])
-    if num_partitions:
-        sel = sel.repartition(num_partitions)
-    s = sel.sort([key_col, ts_col, id_col]).materialize()
-
-    def block_summary(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame(
-                columns=["blk_key", "blk_ts", "blk_id", "first_key", "last_key", "n_first", "n_last"]
-            )
-        df = df.sort_values([key_col, ts_col, id_col])
+    def summarize(df: pd.DataFrame) -> dict:
         fk, lk = df[key_col].iloc[0], df[key_col].iloc[-1]
-        return pd.DataFrame(
-            [
-                {
-                    "blk_key": fk,
-                    "blk_ts": df[ts_col].iloc[0],
-                    "blk_id": df[id_col].iloc[0],
-                    "first_key": fk,
-                    "last_key": lk,
-                    "n_first": int((df[key_col] == fk).sum()),
-                    "n_last": int((df[key_col] == lk).sum()),
-                }
-            ]
-        )
+        return {
+            "first_key": fk,
+            "last_key": lk,
+            "n_first": int((df[key_col] == fk).sum()),
+            "n_last": int((df[key_col] == lk).sum()),
+        }
 
-    summaries = (
-        s.map_batches(block_summary, batch_format="pandas", batch_size=None)
-        .to_pandas()
-        .sort_values(["blk_key", "blk_ts", "blk_id"])
-        .reset_index(drop=True)
-    )
-    # offset for each block's FIRST key = rows of that key in all
-    # preceding blocks (one running counter; keys fully inside a block
-    # never carry)
-    offsets: dict = {}
-    run_key, run_cnt = None, 0
-    # itertuples, not iterrows: iterrows coerces all-numeric summary rows
-    # to float64, which breaks key equality for large int ids (code review)
-    for row in summaries.itertuples(index=False):
-        bkey = (row.first_key, _key_scalar(row.blk_ts), _key_scalar(row.blk_id))
-        off = run_cnt if row.first_key == run_key else 0
-        offsets[bkey] = off
-        base = off + row.n_last if row.last_key == row.first_key else row.n_last
-        run_key, run_cnt = row.last_key, int(base)
-    off_ref = ray.put(offsets)
+    def walk(summaries: list[dict]) -> list:
+        # offset for each block's FIRST key = rows of that key in all
+        # preceding blocks (one running counter; keys fully inside a
+        # block never carry)
+        states = []
+        run_key, run_cnt = None, 0
+        for row in summaries:
+            off = run_cnt if row["first_key"] == run_key else 0
+            states.append(off)
+            base = off + row["n_last"] if row["last_key"] == row["first_key"] else row["n_last"]
+            run_key, run_cnt = row["last_key"], int(base)
+        return states
 
-    def number(df: pd.DataFrame) -> pd.DataFrame:
+    def apply(df: pd.DataFrame, off) -> pd.DataFrame:
         if len(df) == 0:
             out = df[[id_col, key_col, ts_col]].copy()
             out[out_col] = pd.Series(dtype="int64")
             return out
-        om = ray.get(off_ref)
-        df = df.sort_values([key_col, ts_col, id_col]).reset_index(drop=True)
         local = df.groupby(key_col, sort=False).cumcount().to_numpy()
         fk = df[key_col].iloc[0]
-        bkey = (fk, _key_scalar(df[ts_col].iloc[0]), _key_scalar(df[id_col].iloc[0]))
-        off = om[bkey]  # strict: a missing block identity is a bug, not 0
-        rn = local + 1
-        rn = rn + np.where(df[key_col].to_numpy() == fk, off, 0)
+        rn = local + 1 + np.where(df[key_col].to_numpy() == fk, off, 0)
         out = df[[id_col, key_col, ts_col]].copy()
         out[out_col] = rn.astype("int64")
         return out
 
-    return s.map_batches(number, batch_format="pandas", batch_size=None)
+    return block_carry(
+        ds,
+        [key_col, ts_col, id_col],
+        summarize,
+        ["first_key", "last_key", "n_first", "n_last"],
+        walk,
+        apply,
+        num_partitions=num_partitions,
+        select_cols=[key_col, ts_col, id_col],
+    )
 
 
 def rank_features(
@@ -710,62 +733,35 @@ def rank_features(
 
     Driver state: one summary row per block, O(num_blocks).
     """
-    import ray
 
-    sel = ds.select_columns([key_col, ts_col, id_col])
-    if num_partitions:
-        sel = sel.repartition(num_partitions)
-    s = sel.sort([key_col, ts_col, id_col]).materialize()
-
-    def block_summary(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame(
-                columns=["blk_key", "blk_ts", "blk_id", "first_key", "last_key",
-                         "n_first", "n_last"]
-            )
-        df = df.sort_values([key_col, ts_col, id_col])
+    def summarize(df: pd.DataFrame) -> dict:
         fk, lk = df[key_col].iloc[0], df[key_col].iloc[-1]
-        return pd.DataFrame(
-            [
-                {
-                    "blk_key": fk,
-                    "blk_ts": df[ts_col].iloc[0],
-                    "blk_id": df[id_col].iloc[0],
-                    "first_key": fk,
-                    "last_key": lk,
-                    "n_first": int((df[key_col] == fk).sum()),
-                    "n_last": int((df[key_col] == lk).sum()),
-                }
-            ]
-        )
+        return {
+            "first_key": fk,
+            "last_key": lk,
+            "n_first": int((df[key_col] == fk).sum()),
+            "n_last": int((df[key_col] == lk).sum()),
+        }
 
-    summaries = (
-        s.map_batches(block_summary, batch_format="pandas", batch_size=None)
-        .to_pandas()
-        .sort_values(["blk_key", "blk_ts", "blk_id"])
-        .reset_index(drop=True)
-    )
-    carry: dict = {}
-    # itertuples on both walks (dtype-preserving; see row_number note)
-    # forward: rows of each block's FIRST key in preceding blocks
-    run_key, run_cnt = None, 0
-    for row in summaries.itertuples(index=False):
-        bkey = (row.first_key, _key_scalar(row.blk_ts), _key_scalar(row.blk_id))
-        off = run_cnt if row.first_key == run_key else 0
-        carry[bkey] = [off, 0]
-        base = off + row.n_last if row.last_key == row.first_key else row.n_last
-        run_key, run_cnt = row.last_key, int(base)
-    # backward: rows of each block's LAST key in following blocks
-    run_key, run_cnt = None, 0
-    for row in summaries.iloc[::-1].itertuples(index=False):
-        bkey = (row.first_key, _key_scalar(row.blk_ts), _key_scalar(row.blk_id))
-        aft = run_cnt if row.last_key == run_key else 0
-        carry[bkey][1] = aft
-        base = aft + row.n_first if row.first_key == row.last_key else row.n_first
-        run_key, run_cnt = row.first_key, int(base)
-    carry_ref = ray.put(carry)
+    def walk(summaries: list[dict]) -> list:
+        states = [[0, 0] for _ in summaries]
+        # forward: rows of each block's FIRST key in preceding blocks
+        run_key, run_cnt = None, 0
+        for st, row in zip(states, summaries):
+            off = run_cnt if row["first_key"] == run_key else 0
+            st[0] = off
+            base = off + row["n_last"] if row["last_key"] == row["first_key"] else row["n_last"]
+            run_key, run_cnt = row["last_key"], int(base)
+        # backward: rows of each block's LAST key in following blocks
+        run_key, run_cnt = None, 0
+        for st, row in zip(states[::-1], summaries[::-1]):
+            aft = run_cnt if row["last_key"] == run_key else 0
+            st[1] = aft
+            base = aft + row["n_first"] if row["first_key"] == row["last_key"] else row["n_first"]
+            run_key, run_cnt = row["first_key"], int(base)
+        return states
 
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+    def finalize(df: pd.DataFrame, state) -> pd.DataFrame:
         out_cols = [id_col, key_col, ts_col, "rn"]
         if len(df) == 0:
             out = df[[id_col, key_col, ts_col]].copy()
@@ -773,11 +769,8 @@ def rank_features(
             out["percent_rank"] = pd.Series(dtype="float64")
             out["tile"] = pd.Series(dtype="int64")
             return out
-        cm = ray.get(carry_ref)
-        df = df.sort_values([key_col, ts_col, id_col]).reset_index(drop=True)
+        off, aft = state
         fk, lk = df[key_col].iloc[0], df[key_col].iloc[-1]
-        bkey = (fk, _key_scalar(df[ts_col].iloc[0]), _key_scalar(df[id_col].iloc[0]))
-        off, aft = cm[bkey]  # strict: a missing block identity is a bug
         keys = df[key_col].to_numpy()
         grp = df.groupby(key_col, sort=False)
         local = grp.cumcount().to_numpy()
@@ -803,7 +796,16 @@ def rank_features(
         out["tile"] = tile
         return out[out_cols + ["percent_rank", "tile"]]
 
-    return s.map_batches(finalize, batch_format="pandas", batch_size=None)
+    return block_carry(
+        ds,
+        [key_col, ts_col, id_col],
+        summarize,
+        ["first_key", "last_key", "n_first", "n_last"],
+        walk,
+        finalize,
+        num_partitions=num_partitions,
+        select_cols=[key_col, ts_col, id_col],
+    )
 
 
 def pack_token_budget(
@@ -824,56 +826,32 @@ def pack_token_budget(
     ``row_number_partitioned``'s (key, ts, id)) so the global order — and
     therefore the packing — is deterministic under any partitioning.
 
-    Scale mechanics (a distributed exclusive PREFIX SUM, the
-    block-summary-carry pattern): ONE global sort on ``order_cols``;
-    each sorted block ships one summary row (block identity + its token
-    total); the driver's running sum gives each block its global token
-    offset (O(num_blocks) state); a second pass assigns
+    Scale mechanics (a distributed exclusive PREFIX SUM via the shared
+    ``block_carry`` pattern): each sorted block ships one summary row
+    (its token total); the driver's running sum gives each block its
+    global token offset (O(num_blocks) state); the apply pass assigns
     ``offset + local exclusive cumsum`` vectorized per block. Integer
     math end to end — bit-identical to a SQL window cumsum oracle.
     """
-    import ray
-
     if budget <= 0:
         raise ValueError(f"budget must be positive: {budget}")
-    sel = ds  # keep all columns: packing annotates, it doesn't project
-    if num_partitions:
-        sel = sel.repartition(num_partitions)
-    s = sel.sort(order_cols).materialize()
 
-    def block_summary(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame(columns=[*(f"k{i}" for i in range(len(order_cols))), "toks"])
-        df = df.sort_values(order_cols)
-        row = {f"k{i}": df[c].iloc[0] for i, c in enumerate(order_cols)}
-        row["toks"] = int(df[token_col].sum())
-        return pd.DataFrame([row])
+    def summarize(df: pd.DataFrame) -> dict:
+        return {"toks": int(df[token_col].sum())}
 
-    kcols = [f"k{i}" for i in range(len(order_cols))]
-    summaries = (
-        s.map_batches(block_summary, batch_format="pandas", batch_size=None)
-        .to_pandas()
-        .sort_values(kcols)
-        .reset_index(drop=True)
-    )
-    offsets: dict = {}
-    running = 0
-    for row in summaries.itertuples(index=False):
-        bkey = tuple(_key_scalar(getattr(row, k)) for k in kcols)
-        offsets[bkey] = running
-        running += int(row.toks)
-    off_ref = ray.put(offsets)
+    def walk(summaries: list[dict]) -> list:
+        states, running = [], 0
+        for row in summaries:
+            states.append(running)
+            running += int(row["toks"])
+        return states
 
-    def assign(df: pd.DataFrame) -> pd.DataFrame:
+    def assign(df: pd.DataFrame, off) -> pd.DataFrame:
         if len(df) == 0:
             out = df.copy()
             out["seq_id"] = pd.Series(dtype="int64")
             out["tok_offset"] = pd.Series(dtype="int64")
             return out
-        om = ray.get(off_ref)
-        df = df.sort_values(order_cols).reset_index(drop=True)
-        bkey = tuple(_key_scalar(df[c].iloc[0]) for c in order_cols)
-        off = om[bkey]  # strict: a missing block identity is a bug
         toks = df[token_col].to_numpy(dtype=np.int64)
         cum_excl = off + np.cumsum(toks) - toks
         out = df.copy()
@@ -881,4 +859,14 @@ def pack_token_budget(
         out["tok_offset"] = (cum_excl % budget).astype("int64")
         return out
 
-    return s.map_batches(assign, batch_format="pandas", batch_size=None)
+    # no select_cols: packing annotates every input column, it doesn't
+    # project
+    return block_carry(
+        ds,
+        order_cols,
+        summarize,
+        ["toks"],
+        walk,
+        assign,
+        num_partitions=num_partitions,
+    )
