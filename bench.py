@@ -376,7 +376,11 @@ def run_scaling(sf_dir: str) -> dict:
     sc_hi = r_hi["scoring_pairs_per_sec"]
     eff_scoring = (sc_hi / sc_lo) / (hi / lo)
     return {
-        "metric": "scaling_efficiency",
+        # methodology tag (ADVICE r4): iso-occupancy-controlled numbers
+        # (burners pin the low leg to the busy-host frequency state) are
+        # NOT comparable to uncontrolled ones — name the metric by which
+        # methodology produced it so rounds can't silently mix them.
+        "metric": "scaling_efficiency_iso" if occupy_lo else "scaling_efficiency",
         # headline = the north-rule metric: candidate-pairs-SCORED/sec
         # scaling of the scoring stage; the full-pipeline number (which
         # folds in fixed setup + blocking shuffles) is reported alongside.

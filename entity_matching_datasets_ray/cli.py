@@ -42,11 +42,25 @@ def _write_counted(ds, path: str) -> int:
     written. ``count()`` on the lazy Dataset would re-execute the whole
     pipeline (ADVICE r3); materializing first would pin a possibly
     larger-than-memory output in the object store. Parquet footers carry
-    the row counts for free."""
+    the row counts for free — but only the files THIS write produced are
+    counted (a pre-existing output dir would otherwise inflate the count
+    with stale files, ADVICE r4)."""
+    import os
+
     import pyarrow.dataset as pads
 
+    before = set()
+    if os.path.isdir(path):
+        for root, _, files in os.walk(path):
+            before.update(os.path.join(root, f) for f in files if f.endswith(".parquet"))
     ds.write_parquet(path)
-    return pads.dataset(path, format="parquet").count_rows()
+    after = []
+    for root, _, files in os.walk(path):
+        after.extend(os.path.join(root, f) for f in files if f.endswith(".parquet"))
+    new = [f for f in after if f not in before]
+    if not new:
+        return 0
+    return pads.dataset(new, format="parquet").count_rows()
 
 
 def cmd_convert(args) -> int:

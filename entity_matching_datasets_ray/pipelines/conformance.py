@@ -294,9 +294,16 @@ def load_raw_sides(corpus: str):
         return rd.from_arrow(pa.Table.from_pylist(rows, schema=DOCS_SCHEMA))
 
     gold = pd.DataFrame(gold_rows, columns=["a_cid", "b_cid", "label", "split"])
-    # the same (a, b) content pair can be labeled in several splits;
-    # labels agree (same records) — keep one
-    gold = gold.drop_duplicates(["a_cid", "b_cid"]).reset_index(drop=True)
+    # the same (a, b) CONTENT pair can be labeled in several splits, and —
+    # because fmap drops distinguishing source columns like id — two
+    # distinct source records can collapse to one cid pair with
+    # CONFLICTING labels. Resolve order-independently: any positive label
+    # wins (max), never "whichever split was read first" (ADVICE r4).
+    gold = (
+        gold.groupby(["a_cid", "b_cid"], as_index=False, sort=True)
+        .agg(label=("label", "max"), split=("split", "first"))
+        .reset_index(drop=True)
+    )
     return docs_of("left"), docs_of("right"), gold
 
 

@@ -312,19 +312,24 @@ def _membership_join(left, right_keys, on: str, right_on: str, keep: bool,
     left-outer join against the DISTINCT right keys + null filter when the
     collected set would blow the driver/worker heap.
 
-    Plan choice is sample-first: a KMV distinct-count sketch
-    (``stages/sketches.py`` — per-batch bottom-k, a <=k-row shuffle,
-    never the corpus) estimates the right key cardinality BEFORE any
-    driver-side stream, so a huge right side goes straight to the shuffle
-    plan without ever flowing through the driver. When the estimate is
-    under the cap, the collect still enforces the hard count (the sketch
-    has ~1/sqrt(k) error; the cap is a guarantee, not a heuristic).
+    Plan choice is PREFIX-sample-first (ADVICE r4): the KMV distinct
+    sketch (``stages/sketches.py`` — per-batch bottom-k, a <=k-row
+    shuffle, never the corpus) runs over only the first
+    ``4 x max_broadcast_keys`` right rows (``limit()`` — streaming
+    executor stops scheduling upstream blocks once satisfied). A prefix
+    distinct estimate over the cap PROVES the full side is over the cap
+    (distinct counts are monotone in the stream), so a huge right side
+    goes to the shuffle plan after reading only a few blocks — the probe
+    no longer pays a full right-side execution when the shuffle plan
+    wins. Under the cap, the collect enforces the hard count with an
+    early break (the sketch has ~1/sqrt(k) error and a low-cardinality
+    prefix can under-estimate; the cap is a guarantee, not a heuristic).
 
-    Deliberate trade-off: when the broadcast plan wins, the right side is
-    executed twice (probe pass + collect pass) — ~0.3 s of extra work on
-    a small side, in exchange for never pulling up to ``max_broadcast_
-    keys`` pylist values into a single-threaded driver set just to learn
-    the side was too big (the at-scale failure mode the cap guarded).
+    Deliberate trade-off: when the broadcast plan wins, the (small) right
+    side is executed twice (prefix probe + collect pass); when a
+    low-cardinality prefix mis-probes a big side, the collect streams
+    until the hard cap breaks and the shuffle plan re-executes it — the
+    same worst case the full-stream probe had.
 
     NULL semantics (SQL EXISTS / NOT EXISTS over an equality predicate):
     a NULL key never matches anything — NULL right keys are dropped from
@@ -340,9 +345,12 @@ def _membership_join(left, right_keys, on: str, right_on: str, keep: bool,
 
     from ..stages.sketches import kmv_distinct
 
+    probe_rows = 4 * max_broadcast_keys
     est = int(
-        kmv_distinct(right_nn.select_columns([right_on]), right_on, k=256,
-                     allow_any_dtype=True)
+        kmv_distinct(
+            right_nn.select_columns([right_on]).limit(probe_rows), right_on,
+            k=256, allow_any_dtype=True,
+        )
         .to_pandas()["n_distinct_est"].iloc[0]
     )
     broadcast_ok = est <= max_broadcast_keys

@@ -17,7 +17,46 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
+import pyarrow as pa
+
 from .linkage import LinkageConfig, run_linkage, run_linkage_incremental
+
+_TWO64 = float(2**64)
+
+
+def _token_kmv(docs, k: int) -> np.ndarray:
+    """Bottom-k distinct token hashes of the corpus vocabulary (uint64,
+    sorted ascending, <= k values): per-batch distinct-token bottom-k
+    (each batch emits <= k uint64 rows, never the corpus), merged on the
+    driver — the standard KMV union, partitioning-independent."""
+    from ..functions.hashing import hash64
+    from ..stages.extract import extract_stage
+
+    def bottom_k(t: pa.Table) -> pa.Table:
+        toks: set = set()
+        for s in t.column("norm_name").to_pylist():
+            toks.update((s or "").split())
+        h = np.fromiter((hash64(tok) for tok in toks), dtype=np.uint64, count=len(toks))
+        h = np.unique(h)[:k]
+        return pa.table({"h": pa.array(h, pa.uint64())})
+
+    parts = (
+        extract_stage(docs)
+        .select_columns(["norm_name"])
+        .map_batches(bottom_k, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return np.unique(parts["h"].to_numpy(dtype=np.uint64))[:k]
+
+
+def _kmv_est(vals: np.ndarray, k: int) -> float:
+    """KMV distinct estimate; exact when the sketch saw < k values."""
+    if len(vals) == 0:
+        return 0.0
+    if len(vals) < k:
+        return float(len(vals))
+    return (k - 1) * _TWO64 / float(int(vals[k - 1]) + 1)
 
 
 class StreamingLinkage:
@@ -26,14 +65,37 @@ class StreamingLinkage:
     ``checkpoint_dir``: when set, every fold writes
     ``<dir>/step=<k>/clusters/`` (partitioned parquet) and ``resume()``
     restarts from the highest completed step.
+
+    IDF-drift policy (VERDICT r4 item 7): incremental folds refit IDF
+    over the union but never rescore old x old pairs, so cluster
+    equivalence with a full recompute degrades as the VOCABULARY shifts
+    (the ``run_linkage_incremental`` caveat). Each fold therefore
+    estimates the share of corpus vocabulary unseen at the last full
+    recompute — KMV token sketches: ``(est(current) - est(baseline)) /
+    est(current)`` — and when it exceeds ``drift_threshold`` the fold
+    runs a FULL recompute (rescoring everything under the fresh IDF) and
+    resets the baseline. ``last_drift`` / ``last_fold_mode`` expose the
+    decision; ``drift_threshold=None`` disables the policy (pure
+    incremental, the old behavior).
     """
 
-    def __init__(self, config: LinkageConfig | None = None, checkpoint_dir: str | None = None):
+    def __init__(
+        self,
+        config: LinkageConfig | None = None,
+        checkpoint_dir: str | None = None,
+        drift_threshold: float | None = 0.5,
+        vocab_k: int = 2048,
+    ):
         self.cfg = config or LinkageConfig()
         self.checkpoint_dir = checkpoint_dir
         self.docs = None       # Dataset of all docs folded so far
         self.clusters = None   # Dataset (doc_id, entity_id)
         self.step = 0
+        self.drift_threshold = drift_threshold
+        self.vocab_k = vocab_k
+        self._base_sketch = None  # vocab KMV at the last FULL recompute
+        self.last_drift = 0.0
+        self.last_fold_mode = None  # "full" | "incremental"
 
     def _persist(self):
         if not self.checkpoint_dir:
@@ -46,19 +108,48 @@ class StreamingLinkage:
         self.docs = initial_docs.materialize()
         self.clusters = run_linkage(self.docs, self.cfg)
         self.step = 1
+        self.last_fold_mode = "full"
+        if self.drift_threshold is not None:
+            self._base_sketch = _token_kmv(self.docs, self.vocab_k)
         self._persist()
         return self.clusters
 
+    def _vocab_drift(self, new_docs) -> float:
+        """Share of current corpus vocabulary unseen at the last full
+        recompute, estimated from KMV sketches (merge = KMV union)."""
+        delta_sketch = _token_kmv(new_docs, self.vocab_k)
+        cur = np.unique(np.concatenate([self._base_sketch, delta_sketch]))[: self.vocab_k]
+        est_base = _kmv_est(self._base_sketch, self.vocab_k)
+        est_cur = _kmv_est(cur, self.vocab_k)
+        if est_cur <= 0:
+            return 0.0
+        return max(0.0, (est_cur - est_base) / est_cur)
+
     def fold_delta(self, new_docs):
-        """Fold one delta of new documents into the maintained clusters."""
+        """Fold one delta of new documents into the maintained clusters —
+        incrementally, unless the vocabulary drifted past
+        ``drift_threshold`` since the last full recompute (then a full
+        rescore under the fresh IDF, matching a from-scratch run)."""
         if self.docs is None:
             return self.start(new_docs)
         new_docs = new_docs.materialize()
+        union = self.docs.union(new_docs).materialize()
+        if self.drift_threshold is not None:
+            self.last_drift = self._vocab_drift(new_docs)
+            if self.last_drift > self.drift_threshold:
+                self.docs = union
+                self.clusters = run_linkage(self.docs, self.cfg)
+                self.step += 1
+                self.last_fold_mode = "full"
+                self._base_sketch = _token_kmv(self.docs, self.vocab_k)
+                self._persist()
+                return self.clusters
         self.clusters = run_linkage_incremental(
             self.clusters, self.docs, new_docs, self.cfg
         )
-        self.docs = self.docs.union(new_docs).materialize()
+        self.docs = union
         self.step += 1
+        self.last_fold_mode = "incremental"
         self._persist()
         return self.clusters
 
@@ -82,4 +173,9 @@ class StreamingLinkage:
         inst.clusters = rd.read_parquet(
             os.path.join(checkpoint_dir, f"step={last}", "clusters")
         )
+        # drift baseline restarts at the resumed corpus vocabulary
+        # (conservative: the resumed clusters become the new reference
+        # point, exactly as after a full recompute)
+        if inst.drift_threshold is not None:
+            inst._base_sketch = _token_kmv(inst.docs, inst.vocab_k)
         return inst

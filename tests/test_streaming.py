@@ -48,3 +48,64 @@ def test_streaming_folds_match_full_run(tmp_path):
         c2 = sl2.fold_delta(extra)
         assert sl2.step == 4
         assert c2.count() == tbl.num_rows + extra.count()
+
+
+def _new_vocab_docs(n_entities: int) -> pa.Table:
+    """Docs whose vocabulary is entirely unseen by synth_docs_table —
+    each entity twice (an exact near-dup pair) with unique tokens."""
+    from entity_matching_datasets_ray.schema import DOCS_SCHEMA
+
+    rows = []
+    for i in range(n_entities):
+        for c in range(2):
+            rows.append(
+                {
+                    "doc_id": f"driftfam:{i:08d}:{c}",
+                    "dataset": "driftfam",
+                    "spans": [
+                        {
+                            "kind": "text",
+                            "text": f"name=zqx{i}alpha zqx{i}beta zqx{i}gamma wblorp{i}",
+                            "media_ref": "",
+                            "offset": 0,
+                        }
+                    ],
+                }
+            )
+    return pa.Table.from_pylist(rows, schema=DOCS_SCHEMA)
+
+
+def test_streaming_idf_drift_triggers_full_recompute(ray_session):
+    """A vocabulary-shifted delta must trip the KMV drift trigger, run a
+    FULL recompute, and produce exactly the clusters of a from-scratch
+    run over the union; a same-vocabulary delta stays incremental."""
+    from entity_matching_datasets_ray.pipelines.linkage import run_linkage
+
+    base_tbl = synth_docs_table(60)
+    cfg = LinkageConfig(num_partitions=4)
+    sl = StreamingLinkage(cfg, drift_threshold=0.3)
+    sl.fold_delta(rd.from_arrow(base_tbl))
+    assert sl.last_fold_mode == "full"  # founding run
+
+    # same-vocabulary delta (entities 60..69 of the same generator):
+    # drift stays under threshold -> incremental fold
+    bigger = synth_docs_table(70)
+    base_ids = set(base_tbl["doc_id"].to_pylist())
+    mask = pa.array([d not in base_ids for d in bigger["doc_id"].to_pylist()])
+    sl.fold_delta(rd.from_arrow(bigger.filter(mask)))
+    assert sl.last_fold_mode == "incremental", sl.last_drift
+    assert sl.last_drift <= 0.3
+
+    # vocabulary-shifted delta: ~600 brand-new tokens -> full recompute
+    shifted = _new_vocab_docs(150)
+    clusters = sl.fold_delta(rd.from_arrow(shifted))
+    assert sl.last_fold_mode == "full", sl.last_drift
+    assert sl.last_drift > 0.3
+    # the full-recompute fold must equal a from-scratch run on the union
+    expected = run_linkage(
+        rd.from_arrow(pa.concat_tables([bigger, shifted])), cfg
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    got = clusters.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got[["doc_id", "entity_id"]], expected[["doc_id", "entity_id"]])
