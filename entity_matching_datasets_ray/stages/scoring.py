@@ -78,6 +78,18 @@ FEATURE_NAMES = [
     "name_sku_conflict",   # both sides carry part numbers, zero overlap
     "name_cap_conflict",   # both sides carry capacities, zero overlap
     "name_spec_jac",       # canonical interface/speed/form-factor overlap
+    # appended r5 (VERDICT r4 item 6 — per-corpus headroom; default 0):
+    "name_num_contain",    # numeric-token containment (marketplace-suffix
+    # robust model-number agreement: dot against the SMALLER numeric set)
+    "name_seg_jac",        # jaccard over alnum-boundary-SEGMENTED tokens
+    # ("wb2100" == "wb-2100" == "wb 2100" — camera model segmentation)
+    "name_segnum_jac",     # jaccard over segmented DIGIT runs only (the
+    # model-number core: "wb2100" vs "wb-2100" share "2100"; measured
+    # +0.03-0.05 F1 on WDC cameras)
+    "name_segnum_contain",  # same sets, containment (|∩|/min)
+    "name_segnum_conflict",  # both sides carry digit runs, zero overlap
+    "time_conflict",       # both time/duration fields present and unequal
+    "price_conflict",      # both prices present, relative gap > 20%
 ]
 
 # Calibrated on the deterministic synthetic corpus: fit_logistic over the
@@ -118,6 +130,16 @@ DEFAULT_WEIGHTS = {
     "name_sku_conflict": 0.0,
     "name_cap_conflict": 0.0,
     "name_spec_jac": 0.0,
+    # r5 per-corpus features: 0 by default (scores of every synth-
+    # calibrated pipeline are bit-unchanged); the conformance fits learn
+    # them where the corpus carries the signal (cameras/iTunes).
+    "name_num_contain": 0.0,
+    "name_seg_jac": 0.0,
+    "name_segnum_jac": 0.0,
+    "name_segnum_contain": 0.0,
+    "name_segnum_conflict": 0.0,
+    "time_conflict": 0.0,
+    "price_conflict": 0.0,
     "_intercept": -16.798,
 }
 
@@ -166,6 +188,11 @@ EDIT_KERNEL_CAP = 64
 CHEAP_REJECT_JAC = 0.45
 CHEAP_REJECT_TFIDF = 0.55
 
+# letter runs | digit runs (norm_name is already lowercased)
+import re as _re  # noqa: E402
+
+_SEG_RE = _re.compile(r"[a-z]+|[0-9]+")
+
 
 class _Side:
     """Precomputed per-document name features. Cached per unique
@@ -178,6 +205,8 @@ class _Side:
         "capped",
         "tok_set",
         "num_set",
+        "seg_set",
+        "segnum_set",
         "shingles",
         "vec",
         "norm",
@@ -196,6 +225,11 @@ class _Side:
         # digit-bearing tokens (model numbers, sizes, years) — the highest-
         # signal tokens in product titles; their overlap is a feature.
         self.num_set = {t for t in self.tok_set if any(c.isdigit() for c in t)}
+        # alnum-boundary segmentation: "wb2100"/"wb-2100"/"wb 2100" all
+        # yield {"wb","2100"} — the camera-model tokenization drift
+        self.seg_set = frozenset(_SEG_RE.findall(name)) if name else frozenset()
+        # segmented DIGIT runs only — the model-number core
+        self.segnum_set = frozenset(t for t in self.seg_set if t.isdigit())
         # product-title spec block (amortized across the side's pairs by
         # the per-actor side cache, like everything else in this class)
         self.spec_set, self.cap_set, self.sku_set = title_profile(name)
@@ -263,6 +297,41 @@ def _jac_or_missing(a: frozenset, b: frozenset) -> float:
     return inter / (len(a) + len(b) - inter)
 
 
+def _extra_name_block(l: _Side, r: _Side) -> tuple[float, float, float, float, float]:
+    """(num_contain, seg_jac, segnum_jac, segnum_contain, segnum_conflict)
+    — the r5 per-corpus name features; missing conventions mirror num_jac
+    (0.5 both-missing / 0.0 one-side) for the numeric sets and name_jac
+    (1.0 both-empty / 0.0 one-empty) for the full segment set."""
+    nl, nr = l.num_set, r.num_set
+    if not nl and not nr:
+        num_contain = 0.5
+    elif not nl or not nr:
+        num_contain = 0.0
+    else:
+        num_contain = len(nl & nr) / min(len(nl), len(nr))
+    sl, sr = l.seg_set, r.seg_set
+    if not sl and not sr:
+        seg_jac = 1.0
+    elif not sl or not sr:
+        seg_jac = 0.0
+    else:
+        inter = len(sl & sr)
+        seg_jac = inter / (len(sl) + len(sr) - inter)
+    dl, dr = l.segnum_set, r.segnum_set
+    segnum_conflict = 0.0
+    if not dl and not dr:
+        segnum_jac = segnum_contain = 0.5
+    elif not dl or not dr:
+        segnum_jac = segnum_contain = 0.0
+    else:
+        dinter = len(dl & dr)
+        segnum_jac = dinter / (len(dl) + len(dr) - dinter)
+        segnum_contain = dinter / min(len(dl), len(dr))
+        if dinter == 0:
+            segnum_conflict = 1.0
+    return num_contain, seg_jac, segnum_jac, segnum_contain, segnum_conflict
+
+
 def _title_spec_block(l: _Side, r: _Side) -> tuple[float, float, float, float]:
     """(sku_jac, sku_conflict, cap_conflict, spec_jac) — the appended
     product-title features; missing conventions mirror num_jac/num_conflict."""
@@ -314,6 +383,7 @@ def _batch_name_features(
 
     conflict_idx = FEATURE_NAMES.index("name_num_conflict")
     sku_jac_idx = FEATURE_NAMES.index("name_sku_jac")
+    extra_idx = FEATURE_NAMES.index("name_num_contain")
     n = len(lnames)
     pending: dict[tuple, list[int]] = {}
     for i in range(n):
@@ -328,6 +398,7 @@ def _batch_name_features(
         feats[i, 7] = tfc
         feats[i, conflict_idx] = num_conflict
         feats[i, sku_jac_idx : sku_jac_idx + 4] = _title_spec_block(ls, rs)
+        feats[i, extra_idx : extra_idx + 5] = _extra_name_block(ls, rs)
         if gated:
             feats[i, 0] = feats[i, 1] = ng
             continue
@@ -402,11 +473,21 @@ def compute_pair_features(left: dict, right: dict, idf: dict[str, float], defaul
     rs = _Side(rn, idf, default_idf)
     jw, lev, name_jac, name_ng, contain, tfidf, num_jac, tfc = _name_features(ls, rs)
     num_conflict = _name_features_cheap(ls, rs)[6]
+    lt, rt = _none_if_na(left["time"]), _none_if_na(right["time"])
+    time_conflict = 1.0 if (lt not in (None, "") and rt not in (None, "") and lt != rt) else 0.0
+    lp, rp = _none_if_na(left["price_num"]), _none_if_na(right["price_num"])
+    if lp is None or rp is None:
+        price_conflict = 0.0
+    else:
+        denom = max(abs(float(lp)), abs(float(rp)), 1e-9)
+        price_conflict = 1.0 if abs(float(lp) - float(rp)) / denom > 0.2 else 0.0
     return (
         [jw, lev, name_jac, name_ng, contain, tfidf, num_jac, tfc]
         + _aux_features(left, right)
         + [num_conflict]
         + list(_title_spec_block(ls, rs))
+        + list(_extra_name_block(ls, rs))
+        + [time_conflict, price_conflict]
     )
 
 
@@ -491,7 +572,18 @@ class PairScorer:
         with np.errstate(invalid="ignore", divide="ignore"):
             denom = np.maximum(np.maximum(np.abs(lp), np.abs(rp)), 1e-9)
             close = np.maximum(0.0, 1.0 - np.abs(lp - rp) / denom)
-        feats[:, col_idx["price_close"]] = np.where(np.isnan(lp) | np.isnan(rp), 0.5, close)
+            rel_gap = np.abs(lp - rp) / denom
+        missing_price = np.isnan(lp) | np.isnan(rp)
+        feats[:, col_idx["price_close"]] = np.where(missing_price, 0.5, close)
+        feats[:, col_idx["price_conflict"]] = np.where(
+            ~missing_price & (rel_gap > 0.2), 1.0, 0.0
+        )
+        ltime = self._clean_col(batch["l_time"])
+        rtime = self._clean_col(batch["r_time"])
+        both_time = (ltime != None) & (rtime != None)  # noqa: E711 (elementwise)
+        feats[:, col_idx["time_conflict"]] = np.where(
+            both_time & (ltime != rtime), 1.0, 0.0
+        )
 
         # --- string-similarity aux features: batched Jaro-Winkler over
         # the non-null rows (one vectorized call per column; bit-identical

@@ -826,6 +826,13 @@ def pack_token_budget(
     ``row_number_partitioned``'s (key, ts, id)) so the global order — and
     therefore the packing — is deterministic under any partitioning.
 
+    ``token_col`` is injection-friendly: any counting stage can feed it —
+    whitespace/BPE-ish counts (``stages/text_analysis.token_counts``) or
+    a REAL ranked-merge BPE vocabulary via ``functions/text.BPETokenizer``
+    (+ ``load_bpe_merges`` for a standard public ``merges.txt``; this
+    container ships none, so tests wire a small inline table — see
+    tests/test_text_analysis.py::test_bpe_tokenizer_counts_and_packing).
+
     Scale mechanics (a distributed exclusive PREFIX SUM via the shared
     ``block_carry`` pattern): each sorted block ships one summary row
     (its token total); the driver's running sum gives each block its

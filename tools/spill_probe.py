@@ -6,11 +6,17 @@ input on any single worker's heap, so when blocks exceed the object
 store the pipeline degrades to disk spill, not failure.
 
 Usage:
-    python tools/spill_probe.py [n_entities] [object_store_mb] [num_cpus]
+    python tools/spill_probe.py [n_entities] [object_store_mb] [num_cpus] [mode]
 
 Defaults: 60000 entities (~162k docs), 1024 MB store, 16 CPUs — the
 candidate stream (several GB of pair/feature blocks) is forced through a
 1 GB store. Prints one JSON line with wall, phases and spilled bytes.
+
+``mode`` (default ``flagship``): ``two_table`` probes the CROSS-ONLY
+A x B pipeline instead (VERDICT r4 item 8 — its shuffle shapes differ:
+tagged-union key emission, cross-only pair emission, mutual-best-free
+tail): the synthetic corpus splits into A = copy-0 docs, B = the other
+copies, so every entity has cross-side matches.
 """
 
 from __future__ import annotations
@@ -54,8 +60,14 @@ def main() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
 
+    mode = sys.argv[4] if len(sys.argv) > 4 else "flagship"
+
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    from entity_matching_datasets_ray.pipelines.linkage import LinkageConfig, run_linkage
+    from entity_matching_datasets_ray.pipelines.linkage import (
+        LinkageConfig,
+        run_linkage,
+        run_linkage_two_table,
+    )
     from entity_matching_datasets_ray.synth import synth_docs_dataset
 
     session_dir = ray._private.worker._global_node.get_session_dir_path()
@@ -70,7 +82,20 @@ def main() -> dict:
         # broadcast; force the big-side code path under memory pressure
         join_strategy="shuffle",
     )
-    clusters = run_linkage(docs, cfg, timings=timings)
+    if mode == "two_table":
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def side(keep_copy0: bool):
+            def flt(t: pa.Table) -> pa.Table:
+                is0 = pc.ends_with(t["doc_id"], ":0")
+                return t.filter(is0 if keep_copy0 else pc.invert(is0))
+
+            return docs.map_batches(flt, batch_format="pyarrow")
+
+        clusters = run_linkage_two_table(side(True), side(False), cfg, timings=timings)
+    else:
+        clusters = run_linkage(docs, cfg, timings=timings)
     out_dir = "/tmp/spill_probe_clusters"
     import shutil
 
