@@ -101,6 +101,99 @@ def minhash_signature_matrix(
     return out
 
 
+def minhash_signature_flat(
+    flat: np.ndarray, lens: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """``minhash_signature_matrix`` over a pre-flattened (token-hash,
+    per-doc-count) layout — no per-doc Python lists at all. ``flat`` must
+    be grouped by doc in ``lens`` order. Duplicate hashes within a doc are
+    fine: min over a multiset equals min over its set, so signatures are
+    bit-identical to the set-based path."""
+    n = len(lens)
+    num_perm = a.shape[0]
+    out = np.full((n, num_perm), _MAX64, dtype=np.uint64)
+    nz = lens > 0
+    if not nz.any():
+        return out
+    with np.errstate(over="ignore"):
+        vals = (a[:, None] * flat[None, :]) + b[:, None]
+    nz_lens = np.asarray(lens)[nz]
+    starts = np.zeros(nz_lens.shape[0], dtype=np.int64)
+    np.cumsum(nz_lens[:-1], out=starts[1:])
+    out[nz] = np.minimum.reduceat(vals, starts, axis=1).T
+    return out
+
+
+# 3-gram shingles packed 21 bits/codepoint (max Unicode 0x10FFFF < 2^21).
+# Length is recoverable from the value range: 1-char < 2^21, 2-char
+# < 2^42, 3-char >= 2^42 (the leading codepoint is never 0) — matching
+# ngram_shingles' short-string edge ({s} when 0 < len(s) < n).
+_SHIFT21 = np.uint64(21)
+_SHIFT42 = np.uint64(42)
+
+
+def _unpack_shingle(packed: int) -> str:
+    if packed < (1 << 21):
+        return chr(packed)
+    if packed < (1 << 42):
+        return chr(packed >> 21) + chr(packed & 0x1FFFFF)
+    return chr(packed >> 42) + chr((packed >> 21) & 0x1FFFFF) + chr(packed & 0x1FFFFF)
+
+
+def batch_shingle_hashes(
+    names: list, memo: dict
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized char-3-gram shingle hashing for a whole batch of
+    (already-normalized, NUL-free) strings: ``(flat uint64 hashes grouped
+    by row, per-row counts)`` — the input layout of
+    ``minhash_signature_flat``.
+
+    The batch packs into one UCS-4 codepoint matrix; 3-gram windows are
+    three shifted slices OR-ed into packed uint64 ids; only the DISTINCT
+    packed grams in the batch hit blake2b (``hash64`` of the unpacked
+    string — same values as the scalar path), memoized across batches.
+    Replaces the per-name ``BandEmitter._hashes`` loop, which profiled as
+    ~70% of fused key emission.
+    """
+    n = len(names)
+    arr = np.array([nm or "" for nm in names], dtype="U")
+    width = arr.dtype.itemsize // 4
+    if width == 0:
+        return np.empty(0, np.uint64), np.zeros(n, dtype=np.int64)
+    cp = arr.view(np.uint32).reshape(n, width).astype(np.uint64)
+    clen = (cp != 0).sum(axis=1)
+    if width >= 3:
+        grams_m = (cp[:, :-2] << _SHIFT42) | (cp[:, 1:-1] << _SHIFT21) | cp[:, 2:]
+        valid = (cp[:, 2:] != 0).ravel()
+        grams = grams_m.ravel()[valid]
+        rows = np.repeat(np.arange(n, dtype=np.int64), width - 2)[valid]
+    else:
+        grams = np.empty(0, np.uint64)
+        rows = np.empty(0, np.int64)
+    short = np.flatnonzero((clen > 0) & (clen < 3))
+    if short.size:
+        packed_short = np.where(
+            clen[short] == 1, cp[short, 0], (cp[short, 0] << _SHIFT21) | cp[short, 1]
+        )
+        grams = np.concatenate([grams, packed_short])
+        rows = np.concatenate([rows, short])
+        order = np.argsort(rows, kind="stable")
+        rows = rows[order]
+        grams = grams[order]
+    uniq, inv = np.unique(grams, return_inverse=True)
+    lut = np.empty(len(uniq), np.uint64)
+    for j, g in enumerate(uniq.tolist()):
+        h = memo.get(g)
+        if h is None:
+            h = hash64(_unpack_shingle(g))
+            if len(memo) >= 2_000_000:
+                memo.clear()
+            memo[g] = h
+        lut[j] = h
+    flat = lut[inv] if len(grams) else np.empty(0, np.uint64)
+    return flat, np.bincount(rows, minlength=n).astype(np.int64)
+
+
 # splitmix64 constants — public-domain mixer (Steele et al., "Fast
 # Splittable Pseudorandom Number Generators", OOPSLA'14).
 _SM64_GAMMA = np.uint64(0x9E3779B97F4A7C15)

@@ -44,11 +44,10 @@ import pyarrow.compute as pc
 
 from ..functions.hashing import (
     band_key_matrix,
+    batch_shingle_hashes,
     make_perm_params,
-    minhash_signature_matrix,
-    token_hashes,
+    minhash_signature_flat,
 )
-from ..functions.similarity import ngram_shingles
 
 PAIR_COLUMNS = ["left_id", "right_id", "src"]
 
@@ -578,38 +577,20 @@ class BandEmitter:
         self.a, self.b = make_perm_params(num_perm, seed)
         self.num_bands = num_bands
         self.rows_per_band = num_perm // num_bands
-        # shingle -> uint64 memo: the corpus-wide 3-gram vocabulary is tiny
-        # relative to its occurrence count, so hashing each distinct shingle
-        # once per actor removes ~97% of the blake2b calls in this stage.
-        self._shingle_memo: dict[str, int] = {}
-
-    def _hashes(self, name: str) -> np.ndarray:
         # char 3-gram shingles, not word tokens: a one-token typo perturbs
         # only ~3 shingles, keeping MinHash Jaccard (and band collision
-        # probability) high for true duplicates.
-        memo = self._shingle_memo
-        out = []
-        for sh in ngram_shingles(name, 3):
-            h = memo.get(sh)
-            if h is None:
-                from ..functions.hashing import hash64
-
-                h = hash64(sh)
-                if len(memo) >= 2_000_000:
-                    memo.clear()
-                memo[sh] = h
-            out.append(h)
-        out.sort()
-        return np.array(out, dtype=np.uint64)
+        # probability) high for true duplicates. Hashing is batch-
+        # vectorized (hashing.batch_shingle_hashes); this memo maps packed
+        # gram -> uint64 so each DISTINCT gram hits blake2b once per actor
+        # (the corpus-wide 3-gram vocabulary is tiny vs its occurrences).
+        self._shingle_memo: dict[int, int] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         names = batch.column("norm_name").to_pylist()
-        hash_lists = [
-            self._hashes(nn) if nn else np.empty(0, dtype=np.uint64) for nn in names
-        ]
-        sigs = minhash_signature_matrix(hash_lists, self.a, self.b)
+        flat, lens = batch_shingle_hashes(names, self._shingle_memo)
+        sigs = minhash_signature_flat(flat, lens, self.a, self.b)
         # empty names never block
-        nz = np.fromiter((h.size > 0 for h in hash_lists), dtype=bool, count=len(hash_lists))
+        nz = lens > 0
         keys = band_key_matrix(sigs[nz], self.num_bands, self.rows_per_band)
         doc_idx = np.repeat(np.flatnonzero(nz), self.num_bands)
         return pa.table(
@@ -914,17 +895,14 @@ class FusedKeyEmitter:
             key_parts.append(self._k64_distinct(self.KIND_SNM, firsts))
             kind_parts.append(np.full(snm_idx.size, self.KIND_SNM, dtype=np.int8))
 
-        # LSH bands (shingle-memoized minhash; band keys as one vectorized
-        # (docs x bands) splitmix matrix — see hashing.band_key_matrix)
+        # LSH bands: batch-vectorized shingle hashing (UCS-4 packed 3-gram
+        # windows, blake2b once per DISTINCT gram — hashing.
+        # batch_shingle_hashes), flat segmented minhash, and band keys as
+        # one (docs x bands) splitmix matrix (hashing.band_key_matrix)
         names = batch.column("norm_name").to_pylist()
-        hash_lists = [
-            self.bands._hashes(nn) if nn else np.empty(0, dtype=np.uint64)
-            for nn in names
-        ]
-        sigs = minhash_signature_matrix(hash_lists, self.bands.a, self.bands.b)
-        nz = np.fromiter(
-            (h.size > 0 for h in hash_lists), dtype=bool, count=len(hash_lists)
-        )
+        flat, lens = batch_shingle_hashes(names, self.bands._shingle_memo)
+        sigs = minhash_signature_flat(flat, lens, self.bands.a, self.bands.b)
+        nz = lens > 0
         nz_idx = np.flatnonzero(nz)
         if nz_idx.size:
             bands = band_key_matrix(
