@@ -1074,8 +1074,9 @@ def jaccard_similarity_join(
                 with np.errstate(over="ignore"):
                     low = w & (~w + np.uint64(1))  # lowest set bit (w != 0:
                     # the generating band's token is in BOTH prefixes)
-                bitidx = first_w * 64 + _popcount64(low - np.uint64(1))
-                keep = bitidx == granks_[bo]
+                # keep integer math: int64 + uint64 would promote to float64
+                bitidx = first_w * 64 + _popcount64(low - np.uint64(1)).astype(np.int64)
+                keep = bitidx == int(granks_[bo])
                 if not keep.any():
                     continue
                 li = li[keep]
