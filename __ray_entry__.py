@@ -854,6 +854,20 @@ def _vocab_topk_documents(sf_dir: str):
     return vocab_topk(ds, "text", k=50)
 
 
+def _heavy_hitter_tokens(sf_dir: str):
+    """EXACT heavy hitters whose shuffle is bounded by the threshold, not
+    the vocabulary (stages/sketches.py::heavy_hitters): pass 1 keeps
+    per-batch locally-heavy tokens (pigeonhole-complete candidate set,
+    zero shuffle), pass 2 broadcast-recounts only candidates. Integer
+    threshold compare (cnt*1000 >= N) keeps the SQL oracle bit-identical."""
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.stages.sketches import heavy_hitters
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return heavy_hitters(ds, "text", min_frac_num=1, min_frac_den=1000)
+
+
 def _linkage_two_table_planted(sf_dir: str):
     """A x B record linkage (the reference's task shape) over a planted
     correspondence: table A = planted copy 0 per id; table B = planted
@@ -943,6 +957,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # query has a driver-green row in r4 ∪ r5. Correctness is
     # order-independent.
     return {
+        # --- NEW this round (never driver-sampled): exact two-pass heavy
+        # hitters + the bloom membership-join tier ---
+        "heavy_hitter_tokens": _heavy_hitter_tokens,
+        "bloom_semi_customers": R.q_bloom_semi_customers,
+        "bloom_anti_customers": R.q_bloom_anti_customers,
         # --- the 21 queries the r4 driver window missed (judge-verified
         # r4; now first so CORRECTNESS_r05 gets driver rows for them) ---
         "priority_order_lists": R.q_priority_order_lists,
@@ -1421,6 +1440,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name FROM customer
             WHERE c_custkey IN (SELECT o_custkey FROM orders)
             ORDER BY c_custkey
+        """,
+        # bloom tier: same EXISTS / NOT EXISTS semantics — the bitmap is a
+        # pre-filter, the exact join finish makes fp-rate invisible here
+        "bloom_semi_customers": """
+            SELECT c_custkey, c_acctbal FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+            ORDER BY c_custkey
+        """,
+        "bloom_anti_customers": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (
+                SELECT o_custkey FROM orders WHERE o_totalprice > 250000
+            )
+            ORDER BY c_custkey
+        """,
+        # exact two-pass heavy hitters; INTEGER threshold compare on both
+        # sides (no float ceil) — see stages/sketches.py::heavy_hitters
+        "heavy_hitter_tokens": """
+            WITH toks AS (
+                SELECT unnest(list_filter(
+                    string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS token
+                FROM documents
+            )
+            SELECT token, CAST(count(*) AS BIGINT) AS cnt
+            FROM toks
+            GROUP BY token
+            HAVING count(*) * 1000 >= 1 * (SELECT count(*) FROM toks)
+            ORDER BY cnt DESC, token ASC
         """,
         "customers_without_orders": """
             SELECT c_custkey, c_name

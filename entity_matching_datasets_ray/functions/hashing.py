@@ -270,3 +270,39 @@ def pandas_bucket(obj, num_buckets: int) -> np.ndarray:
 
     h = pd.util.hash_pandas_object(obj, index=False)
     return (h.to_numpy(dtype=np.uint64) % np.uint64(num_buckets)).astype(np.int32)
+
+
+_BLOOM_SALT = np.uint64(0xA5A5_5A5A_DEAD_BEEF)
+
+
+def bloom_key_hashes(series) -> np.ndarray:
+    """Canonical uint64 hash per key for Bloom membership tests.
+
+    Both sides of a bloom join MUST hash logically-equal keys to the same
+    value or a true member can bloom-test negative (a correctness bug, not
+    a performance one). Canonicalization before hashing: integer dtypes ->
+    int64, float dtypes -> float64 (the int32/int64 join-key gotcha, again);
+    everything else hashes its pandas representation as-is. ``series`` must
+    be NULL-free — callers hash the valid subset only.
+    """
+    import pandas as pd
+
+    s = series
+    if pd.api.types.is_integer_dtype(s.dtype):
+        s = s.astype("int64")
+    elif pd.api.types.is_float_dtype(s.dtype):
+        s = s.astype("float64")
+    h = pd.util.hash_pandas_object(s, index=False).to_numpy(dtype=np.uint64)
+    return _splitmix64(h)
+
+
+def bloom_bit_positions(h: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(n, k) bit positions via double hashing (Kirsch-Mitzenmacher:
+    pos_j = h1 + j*h2 mod m needs only two independent hashes for k
+    probes). ``h`` is the output of ``bloom_key_hashes``."""
+    with np.errstate(over="ignore"):
+        h1 = h
+        h2 = _splitmix64(h ^ _BLOOM_SALT) | np.uint64(1)
+        j = np.arange(k, dtype=np.uint64)[None, :]
+        pos = h1[:, None] + j * h2[:, None]
+    return (pos % np.uint64(m_bits)).astype(np.int64)

@@ -12,6 +12,7 @@ compare is name-sensitive).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -387,6 +388,14 @@ def _membership_join(left, right_keys, on: str, right_on: str, keep: bool,
         return left.map_batches(MemberFilter, batch_format="pyarrow", concurrency=(1, 2))
 
     # shuffle path: distinct right keys -> left_outer join -> null filter
+    return _membership_shuffle(left, right_nn, on, right_on, keep, num_partitions)
+
+
+def _membership_shuffle(left, right_nn, on: str, right_on: str, keep: bool,
+                        num_partitions: int):
+    """Exact shuffle membership plan: distinct right keys -> left_outer
+    join -> marker null-filter. ``right_nn`` must already be NULL-free on
+    ``right_on``."""
     from ray.data.aggregate import Count as _Count
 
     marker = "__member_marker"
@@ -417,6 +426,119 @@ def _membership_join(left, right_keys, on: str, right_on: str, keep: bool,
         lambda t: t.filter(pred(t[marker])).drop_columns([marker]),
         batch_format="pyarrow",
     )
+
+
+def bloom_semi_join(left, right_keys, on: str, right_on: str,
+                    expected_keys: int = 1_000_000, bits_per_key: int = 10,
+                    num_partitions: int = 8):
+    """EXISTS via a Bloom pre-filter (see ``_bloom_membership``)."""
+    return _bloom_membership(left, right_keys, on, right_on, keep=True,
+                             expected_keys=expected_keys,
+                             bits_per_key=bits_per_key,
+                             num_partitions=num_partitions)
+
+
+def bloom_anti_join(left, right_keys, on: str, right_on: str,
+                    expected_keys: int = 1_000_000, bits_per_key: int = 10,
+                    num_partitions: int = 8):
+    """NOT EXISTS via a Bloom pre-filter (see ``_bloom_membership``)."""
+    return _bloom_membership(left, right_keys, on, right_on, keep=False,
+                             expected_keys=expected_keys,
+                             bits_per_key=bits_per_key,
+                             num_partitions=num_partitions)
+
+
+def _bloom_membership(left, right_keys, on: str, right_on: str, keep: bool,
+                      expected_keys: int, bits_per_key: int,
+                      num_partitions: int):
+    """Bloom-filtered membership join — the middle tier between
+    ``_membership_join``'s broadcast plan (exact key set fits the heap)
+    and its shuffle plan (nothing fits): when the right key SET is too
+    big to collect exactly but a bitmap over it fits
+    (10 bits/key -> 100M keys = 125 MB, still ``ray.put``-broadcastable),
+    pre-filter the LEFT side before the all-to-all.
+
+    Plan (classic bloom join; exact by construction):
+      1. build: per-block Bloom bitmaps over the right keys
+         (``map_batches`` -> one ``m/8``-byte binary row per block),
+         OR-merged on the driver. O(m) driver memory, O(m x blocks)
+         driver traffic — at cluster scale the OR is associative, so a
+         tree reduce over block bitmaps bounds fan-in; noted, not needed
+         at this node's block counts.
+      2. probe: an actor-pool batch filter tests each left key's k bit
+         positions (vectorized gather + ``all(axis=1)``). False-positive
+         rate ~0.6^ (bits_per_key); false negatives impossible (same
+         canonical hash both sides — ``bloom_key_hashes``).
+      3. finish EXACTLY: semi routes the surviving (member + fp) rows
+         through ``_membership_shuffle(keep=True)`` — the join removes
+         the fps. Anti SPLITS: bloom-negative rows are definitively
+         non-members and bypass the shuffle entirely (kept directly —
+         this is where the win is: at 1% selectivity, 99% of the left
+         side never shuffles); bloom-positive rows go through
+         ``_membership_shuffle(keep=False)`` and union back.
+
+    NULL semantics match ``_membership_join``: a NULL left key matches
+    nothing (semi drops it before the join; anti keeps it on the
+    definite-non-member branch). NULL right keys never enter the bitmap.
+    """
+    import ray
+
+    from ..functions.hashing import bloom_bit_positions, bloom_key_hashes
+
+    m_bits = max(1024, ((expected_keys * bits_per_key + 7) // 8) * 8)
+    k = max(1, min(16, round(0.7 * bits_per_key)))
+
+    right_nn = right_keys.map_batches(
+        lambda t: t.filter(pc.is_valid(t[right_on])), batch_format="pyarrow"
+    )
+
+    def block_bloom(t: pa.Table) -> pa.Table:
+        bits = np.zeros(m_bits, dtype=bool)
+        if len(t):
+            h = bloom_key_hashes(t[right_on].to_pandas())
+            bits[bloom_bit_positions(h, m_bits, k).ravel()] = True
+        return pa.table({"bloom": pa.array([np.packbits(bits).tobytes()], pa.binary())})
+
+    merged = np.zeros(m_bits // 8, dtype=np.uint8)
+    for b in right_nn.map_batches(block_bloom, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for buf in b["bloom"].to_pylist():
+            merged |= np.frombuffer(buf, dtype=np.uint8)
+    bloom_ref = ray.put(merged)
+
+    class BloomProbe:
+        """maybe-member batch filter; ``want`` selects which side survives."""
+
+        def __init__(self, want: bool):
+            self.bits = np.unpackbits(ray.get(bloom_ref)).view(bool)
+            self.want = want
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            col = t[on]
+            valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+            maybe = np.zeros(len(t), dtype=bool)
+            if valid.any():
+                # drop_null BEFORE to_pandas: nulls would force ints to
+                # float64 and break the canonical hash of the valid rows
+                h = bloom_key_hashes(col.drop_null().to_pandas())
+                pos = bloom_bit_positions(h, m_bits, k)
+                maybe[np.flatnonzero(valid)] = self.bits[pos].all(axis=1)
+            return t.filter(pa.array(maybe if self.want else ~maybe))
+
+    probe = lambda ds, want: ds.map_batches(  # noqa: E731
+        BloomProbe, fn_constructor_args=(want,), batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+    if keep:
+        return _membership_shuffle(
+            probe(left, True), right_nn, on, right_on, True, num_partitions
+        )
+    survivors = _membership_shuffle(
+        probe(left, True), right_nn, on, right_on, False, num_partitions
+    )
+    return probe(left, False).union(survivors)
 
 
 def grouped_quantiles(
@@ -542,6 +664,33 @@ def q_customers_without_orders(sf_dir: str):
     )
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
     return anti_join(cust, orders, on="c_custkey", right_on="o_custkey").sort("c_custkey")
+
+
+def q_bloom_semi_customers(sf_dir: str):
+    """Semi-join through the Bloom middle tier (``bloom_semi_join``):
+    same EXISTS semantics as ``q_customers_with_orders``, forced through
+    bitmap-prefilter -> exact shuffle finish."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    return bloom_semi_join(
+        cust, orders, on="c_custkey", right_on="o_custkey", expected_keys=100_000
+    ).sort("c_custkey")
+
+
+def q_bloom_anti_customers(sf_dir: str):
+    """Anti-join through the Bloom tier: customers with no order above
+    $250k. Bloom-negative rows bypass the shuffle (the at-scale win);
+    bloom-positive rows get the exact NOT-EXISTS finish."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], pa.scalar(250000.0))).select(
+            ["o_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    return bloom_anti_join(
+        cust, orders, on="c_custkey", right_on="o_custkey", expected_keys=100_000
+    ).sort("c_custkey")
 
 
 def q_events_sliding_3h(sf_dir: str):

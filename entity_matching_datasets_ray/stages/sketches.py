@@ -100,3 +100,109 @@ def kmv_distinct(ds, key_col: str, k: int = 1024, allow_any_dtype: bool = False)
     return kmv_sketch(ds, key_col, k, allow_any_dtype=allow_any_dtype).repartition(
         1
     ).map_batches(estimate, batch_format="pandas", batch_size=None)
+
+
+def heavy_hitters(ds, text_col: str = "text", min_frac_num: int = 1,
+                  min_frac_den: int = 1000, lowercase: bool = True,
+                  safety: int = 2):
+    """EXACT heavy hitters at unbounded vocabulary: every token whose
+    global occurrence count satisfies ``cnt * min_frac_den >= min_frac_num
+    * N`` (N = total token count), with its exact count.
+
+    ``vocab_topk`` shuffles one row per DISTINCT token per batch through a
+    ``groupby`` — at 100 TB the vocabulary itself (urls, ids, typos) is
+    billions of rows and that groupby becomes the bottleneck. This is the
+    classic two-pass exact plan whose shuffle volume is bounded by the
+    THRESHOLD, not the vocabulary:
+
+    pass 1 — candidates, zero shuffle: each batch keeps tokens with
+      ``batch_cnt * C > batch_total`` (C = ceil(safety*den/num)), <= C
+      survivors per batch plus one batch-total row, straight to the
+      driver. Completeness is a pigeonhole fact: if a token's GLOBAL
+      count >= (num/den)*N but NO batch kept it, then summing the
+      per-batch bounds gives cnt <= N/C <= (num/den)*N/safety < cnt —
+      contradiction (safety > 1). So the union of batch survivors
+      contains every global heavy hitter; it also contains batch-local
+      noise, which pass 2 removes.
+    pass 2 — exact recount: broadcast the candidate set (``ray.put``,
+      read once per actor), count ONLY candidates per batch (one row per
+      candidate per batch crosses the shuffle), ``groupby(token).sum``,
+      keep ``cnt * den >= num * N``. Exact membership AND exact counts.
+
+    The threshold compare is pure INTEGER math on both sides (``cnt*den
+    >= num*N``) — no float ceil, so the SQL oracle (``HAVING count(*) *
+    den >= num * (SELECT n ...)``) is bit-identical by construction.
+    Tokenization matches ``vocab_topk``: optional lowercase, whitespace
+    split, empties dropped. Deterministic order: cnt desc, token asc.
+    """
+    import math
+
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    if min_frac_num <= 0 or min_frac_den <= 0:
+        raise ValueError("min_frac must be a positive fraction")
+    C = math.ceil(safety * min_frac_den / min_frac_num)
+
+    def tokenize(df: pd.DataFrame) -> pd.Series:
+        s = df[text_col].dropna().astype(str)
+        if lowercase:
+            s = s.str.lower()
+        return s.str.split().explode().dropna()
+
+    def candidates(df: pd.DataFrame) -> pd.DataFrame:
+        toks = tokenize(df)
+        total = len(toks)
+        vc = toks.value_counts()
+        heavy = vc[vc.to_numpy() * C > total]
+        return pd.DataFrame(
+            {
+                "token": np.concatenate(
+                    [heavy.index.to_numpy(dtype=object), [None]]
+                ),
+                "cnt": np.concatenate([heavy.to_numpy(), [total]]).astype("int64"),
+            }
+        )
+
+    summ = (
+        ds.select_columns([text_col])
+        .map_batches(candidates, batch_format="pandas")
+        .to_pandas()  # <= (C+1) x num_batches rows — summaries, never tokens
+    )
+    n_total = int(summ.loc[summ["token"].isna(), "cnt"].sum())
+    cand = np.unique(summ.loc[summ["token"].notna(), "token"].to_numpy(dtype=object))
+    if n_total == 0 or len(cand) == 0:
+        # from_arrow with explicit types: a 0-row from_pandas loses the schema
+        return rd.from_arrow(
+            pa.table({"token": pa.array([], pa.string()),
+                      "cnt": pa.array([], pa.int64())})
+        )
+    cand_ref = ray.put(cand)
+
+    class RecountCandidates:
+        def __init__(self):
+            self.cand = pd.Index(ray.get(cand_ref))
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            vc = tokenize(df).value_counts()
+            vc = vc[vc.index.isin(self.cand)]
+            return pd.DataFrame(
+                {"token": vc.index.to_numpy(dtype=object),
+                 "cnt": vc.to_numpy("int64")}
+            )
+
+    lhs_num, lhs_den = int(min_frac_num), int(min_frac_den)
+
+    def threshold_filter(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["cnt"].to_numpy("int64") * lhs_den >= lhs_num * n_total
+        return df[keep]
+
+    return (
+        ds.select_columns([text_col])
+        .map_batches(RecountCandidates, batch_format="pandas", concurrency=(1, 8))
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .map_batches(threshold_filter, batch_format="pandas")
+        .sort(["cnt", "token"], descending=[True, False])
+    )

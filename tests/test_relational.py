@@ -267,3 +267,72 @@ def test_membership_join_probe_skips_driver_stream_on_large_right(ray_session):
         .to_pandas().sort_values("k")
     )
     assert list(out["k"]) == list(range(0, 50, 2))
+
+
+def test_bloom_membership_matches_exact(ray_session):
+    """Bloom semi/anti == plain semi/anti on a randomized key universe —
+    exactness must be independent of fp rate, so run one config with a
+    TINY bitmap (m=1024 floor, heavy fp) and one sized normally."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.pipelines.relational import (
+        anti_join, bloom_anti_join, bloom_semi_join, semi_join,
+    )
+
+    rng = np.random.default_rng(7)
+    left = rd.from_pandas(pd.DataFrame({
+        "k": rng.integers(0, 500, 300), "x": np.arange(300),
+    }))
+    right = rd.from_pandas(pd.DataFrame({"rk": rng.integers(250, 750, 200)}))
+
+    exact_semi = semi_join(left, right, on="k", right_on="rk").to_pandas()
+    exact_anti = anti_join(left, right, on="k", right_on="rk").to_pandas()
+    for expected in (1, 100_000):  # m floor (fp-heavy) vs roomy bitmap
+        bs = bloom_semi_join(left, right, on="k", right_on="rk",
+                             expected_keys=expected).to_pandas()
+        ba = bloom_anti_join(left, right, on="k", right_on="rk",
+                             expected_keys=expected).to_pandas()
+        for got, want in ((bs, exact_semi), (ba, exact_anti)):
+            pd.testing.assert_frame_equal(
+                got.sort_values("x").reset_index(drop=True),
+                want.sort_values("x").reset_index(drop=True),
+            )
+
+
+def test_bloom_membership_dtype_and_null_semantics(ray_session):
+    """int32 left vs int64 right must not bloom-test false-negative
+    (canonical int64 hashing), and NULL keys follow EXISTS semantics:
+    semi drops them, anti keeps them."""
+    import pandas as pd
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.pipelines.relational import (
+        bloom_anti_join, bloom_semi_join,
+    )
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, None, 4], pa.int32()),
+        "x": ["a", "b", "c", "d"],
+    }))
+    right = rd.from_arrow(pa.table({"rk": pa.array([2, None, 9], pa.int64())}))
+    semi = bloom_semi_join(left, right, on="k", right_on="rk",
+                           expected_keys=1000).to_pandas().sort_values("x")
+    anti = bloom_anti_join(left, right, on="k", right_on="rk",
+                           expected_keys=1000).to_pandas().sort_values("x")
+    assert list(semi["x"]) == ["b"]
+    assert list(anti["x"]) == ["a", "c", "d"]
+
+
+def test_bloom_membership_string_keys(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.pipelines.relational import bloom_semi_join
+
+    left = rd.from_pandas(pd.DataFrame({"k": ["aa", "bb", "cc"], "x": [1, 2, 3]}))
+    right = rd.from_pandas(pd.DataFrame({"rk": ["bb", "zz"]}))
+    out = bloom_semi_join(left, right, on="k", right_on="rk",
+                          expected_keys=100).to_pandas()
+    assert list(out["k"]) == ["bb"]

@@ -33,3 +33,77 @@ def test_kmv_rejects_non_integer_keys(ray_session):
     ds = rd.from_pandas(pd.DataFrame({"k": ["a", "b"]}))
     with pytest.raises(Exception):
         kmv_distinct(ds, "k").to_pandas()
+
+
+def _exact_hitters(texts, num, den):
+    import collections
+
+    toks = []
+    for t in texts:
+        if t is not None:
+            toks.extend(str(t).lower().split())
+    n = len(toks)
+    cnt = collections.Counter(toks)
+    rows = sorted(
+        ((tok, c) for tok, c in cnt.items() if c * den >= num * n),
+        key=lambda r: (-r[1], r[0]),
+    )
+    return rows, n
+
+
+def test_heavy_hitters_exact_vs_serial(ray_session):
+    """Distributed two-pass result == serial Counter at several partition
+    layouts (candidate completeness is partitioning-dependent only in its
+    PROOF, never its output)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.stages.sketches import heavy_hitters
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(200)]
+    # skewed: a few very hot tokens + long uniform tail
+    weights = np.array([50.0] * 5 + [1.0] * 195)
+    weights /= weights.sum()
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(3, 12), p=weights))
+        for _ in range(400)
+    ] + [None, ""]
+    want, n = _exact_hitters(texts, 1, 50)
+    assert want, "fixture must produce at least one hitter"
+    for parts in (1, 3, 9):
+        ds = rd.from_pandas(pd.DataFrame({"text": texts})).repartition(parts)
+        got = heavy_hitters(ds, "text", min_frac_num=1, min_frac_den=50).to_pandas()
+        assert list(map(tuple, got[["token", "cnt"]].itertuples(index=False))) == want
+
+
+def test_heavy_hitters_threshold_edge(ray_session):
+    """A token EXACTLY at the integer threshold is kept; one below is not
+    (cnt*den >= num*N, no float ceil)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.stages.sketches import heavy_hitters
+
+    # N = 10 tokens; threshold num/den = 1/5 -> cnt*5 >= 10 -> cnt >= 2
+    texts = ["a a b b c", "d e f g h"]
+    ds = rd.from_pandas(pd.DataFrame({"text": texts})).repartition(2)
+    got = heavy_hitters(ds, "text", min_frac_num=1, min_frac_den=5).to_pandas()
+    assert list(map(tuple, got[["token", "cnt"]].itertuples(index=False))) == [
+        ("a", 2), ("b", 2),
+    ]
+
+
+def test_heavy_hitters_empty_corpus(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.stages.sketches import heavy_hitters
+
+    ds = rd.from_pandas(pd.DataFrame({"text": pd.array([None, ""], dtype=object)}))
+    got = heavy_hitters(ds, "text")
+    assert got.count() == 0
+    # Dataset-level schema survives even though Ray's to_pandas drops
+    # columns for 0-row results
+    assert got.schema().names == ["token", "cnt"]
