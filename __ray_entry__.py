@@ -868,6 +868,19 @@ def _heavy_hitter_tokens(sf_dir: str):
     return heavy_hitters(ds, "text", min_frac_num=1, min_frac_den=1000)
 
 
+def _quantity_quantiles_sketch(sf_dir: str):
+    """Mergeable quantile sketch (stages/sketches.py::quantile_sketch):
+    per-block (value, weight) compaction -> driver merge, no global sort.
+    l_quantity has 50 distinct values, so every block stays under k and
+    the sketch runs in its EXACT mode — bit-identical to quantile_disc."""
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.stages.sketches import quantile_sketch
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_quantity"])
+    return quantile_sketch(ds, "l_quantity", qs=(0.25, 0.5, 0.75, 0.9, 0.99))
+
+
 def _linkage_two_table_planted(sf_dir: str):
     """A x B record linkage (the reference's task shape) over a planted
     correspondence: table A = planted copy 0 per id; table B = planted
@@ -962,6 +975,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_tokens": _heavy_hitter_tokens,
         "bloom_semi_customers": R.q_bloom_semi_customers,
         "bloom_anti_customers": R.q_bloom_anti_customers,
+        "quantity_quantiles_sketch": _quantity_quantiles_sketch,
         # --- the 21 queries the r4 driver window missed (judge-verified
         # r4; now first so CORRECTNESS_r05 gets driver rows for them) ---
         "priority_order_lists": R.q_priority_order_lists,
@@ -1454,6 +1468,19 @@ def oracle_sql() -> dict[str, str]:
                 SELECT o_custkey FROM orders WHERE o_totalprice > 250000
             )
             ORDER BY c_custkey
+        """,
+        # quantile SKETCH in exact mode (50 distinct values <= k per
+        # block): selection rule = element at rank ceil(q*n), identical
+        # to quantile_disc — see stages/sketches.py::quantile_sketch
+        "quantity_quantiles_sketch": """
+            SELECT q, l_quantity FROM (
+                SELECT CAST(0.25 AS DOUBLE) AS q,
+                       quantile_disc(l_quantity, 0.25) AS l_quantity FROM lineitem
+                UNION ALL SELECT 0.5, quantile_disc(l_quantity, 0.5) FROM lineitem
+                UNION ALL SELECT 0.75, quantile_disc(l_quantity, 0.75) FROM lineitem
+                UNION ALL SELECT 0.9, quantile_disc(l_quantity, 0.9) FROM lineitem
+                UNION ALL SELECT 0.99, quantile_disc(l_quantity, 0.99) FROM lineitem
+            ) ORDER BY q
         """,
         # exact two-pass heavy hitters; INTEGER threshold compare on both
         # sides (no float ceil) — see stages/sketches.py::heavy_hitters

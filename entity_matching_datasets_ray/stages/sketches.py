@@ -206,3 +206,84 @@ def heavy_hitters(ds, text_col: str = "text", min_frac_num: int = 1,
         .map_batches(threshold_filter, batch_format="pandas")
         .sort(["cnt", "token"], descending=[True, False])
     )
+
+
+def quantile_sketch(ds, value_col: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+                    k: int = 4096):
+    """Mergeable approximate quantiles with an exactness mode —
+    the sketch alternative to ``relational.global_quantiles``.
+
+    ``global_quantiles`` is exact but pays a full global SORT (an
+    all-to-all of the corpus). At 100 TB an epsilon-approximate answer
+    from O(k) state per block is usually the right trade: each block
+    compacts its value distribution to <= k (value, weight) rows; the
+    driver merges <= k x num_blocks summary rows and answers every q
+    from one weighted scan — the corpus never moves.
+
+    Compaction keeps cumulative weights HONEST: per block, distinct
+    values sorted ascending are grouped into <= k consecutive runs of
+    ~equal weight; the representative is the LAST value of its run, so
+    the cumulative weight at each representative equals that value's
+    exact within-block rank (count of block elements <= v). Merged
+    across blocks, the cumulative weight at any representative is
+    therefore an exact global "count <= v"; the only error is the gap
+    BETWEEN consecutive representatives, bounded per block by
+    ``n_b/k + max_single_value_count_b`` (a single hot value never
+    splits). Rank error <= sum_b(n_b/k) + max hot count — epsilon ~ 1/k
+    for distinct-heavy data.
+
+    EXACT mode, for free: when every block has <= k distinct values, no
+    grouping happens, weights are exact per-value counts, and the result
+    is bit-identical to SQL ``quantile_disc`` (selection rule: first
+    value whose cumulative count >= ceil(q*N) — the element at
+    1-indexed rank ceil(q*N), matching ``global_quantiles``). That makes
+    an *approximate* operator exactly oracle-checkable on bounded-domain
+    columns (e.g. lineitem quantities).
+    """
+    import math
+
+    import ray.data as rd
+
+    def compact(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[value_col].dropna()
+        vc = s.value_counts().sort_index()  # ascending distinct values
+        vals = vc.index.to_numpy()
+        w = vc.to_numpy().astype("int64")
+        if len(vals) > k:
+            cw = np.cumsum(w)
+            total = int(cw[-1])
+            # run boundaries at ~equal cumulative weight; searchsorted on
+            # the exact cumsum keeps every kept cum weight an exact rank
+            targets = np.ceil(np.arange(1, k + 1) * (total / k))
+            idx = np.unique(
+                np.searchsorted(cw, targets, side="left").clip(0, len(vals) - 1)
+            )
+            idx[-1] = len(vals) - 1  # always keep the block max
+            keep_cw = cw[idx]
+            w = np.diff(np.concatenate(([0], keep_cw))).astype("int64")
+            vals = vals[idx]
+        return pd.DataFrame({"v": vals, "w": w})
+
+    # whole-BLOCK batches: the sketch contract ("<= k rows per block")
+    # and the error bound are per block, not per 1024-row slice
+    sk = (
+        ds.select_columns([value_col])
+        .map_batches(compact, batch_format="pandas", batch_size=None)
+        .to_pandas()  # <= k x num_blocks summary rows — never the corpus
+    )
+    if len(sk) == 0:
+        return rd.from_arrow(
+            pa.table({"q": pa.array([], pa.float64()),
+                      value_col: pa.array([], pa.float64())})
+        )
+    merged = sk.groupby("v", sort=True)["w"].sum()
+    cw = merged.cumsum().to_numpy()
+    n_total = int(cw[-1])
+    vals = merged.index.to_numpy()
+    out_q, out_v = [], []
+    for q in qs:
+        r = max(1, math.ceil(q * n_total))
+        i = int(np.searchsorted(cw, r, side="left"))
+        out_q.append(float(q))
+        out_v.append(vals[min(i, len(vals) - 1)])
+    return rd.from_pandas(pd.DataFrame({"q": out_q, value_col: out_v}))

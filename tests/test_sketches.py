@@ -107,3 +107,50 @@ def test_heavy_hitters_empty_corpus(ray_session):
     # Dataset-level schema survives even though Ray's to_pandas drops
     # columns for 0-row results
     assert got.schema().names == ["token", "cnt"]
+
+
+def test_quantile_sketch_exact_mode(ray_session):
+    """Every block under k distinct values -> bit-identical to the
+    quantile_disc rule (element at 1-indexed rank ceil(q*n))."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.stages.sketches import quantile_sketch
+
+    rng = np.random.default_rng(3)
+    vals = rng.choice(np.arange(1.0, 41.0), size=5000)  # 40 distinct
+    qs = (0.1, 0.5, 0.9, 0.99)
+    want = [float(np.sort(vals)[math.ceil(q * len(vals)) - 1]) for q in qs]
+    for parts in (1, 4, 16):
+        ds = rd.from_pandas(pd.DataFrame({"x": vals})).repartition(parts)
+        got = quantile_sketch(ds, "x", qs=qs, k=256).to_pandas()
+        assert list(got["x"]) == want, f"parts={parts}"
+        assert list(got["q"]) == list(qs)
+
+
+def test_quantile_sketch_error_bound(ray_session):
+    """Approximate mode (distinct >> k): the returned value's true rank
+    is within sum_b(n_b/k) + max-hot-count of the target rank."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.stages.sketches import quantile_sketch
+
+    rng = np.random.default_rng(5)
+    vals = rng.standard_normal(20000)  # ~all distinct
+    parts, k = 8, 64
+    ds = rd.from_pandas(pd.DataFrame({"x": vals})).repartition(parts)
+    got = quantile_sketch(ds, "x", qs=(0.25, 0.5, 0.9), k=k).to_pandas()
+    srt = np.sort(vals)
+    n = len(vals)
+    bound = n / k + 1 + parts  # sum_b ceil(n_b/k)-ish slack, values distinct
+    for q, v in zip(got["q"], got["x"]):
+        true_rank = np.searchsorted(srt, v, side="right")
+        target = math.ceil(q * n)
+        assert abs(true_rank - target) <= bound, (q, true_rank, target, bound)
