@@ -868,6 +868,19 @@ def _heavy_hitter_tokens(sf_dir: str):
     return heavy_hitters(ds, "text", min_frac_num=1, min_frac_den=1000)
 
 
+def _doc_top_terms(sf_dir: str):
+    """Per-document characteristic terms (text_analysis.doc_top_terms):
+    integer-exact TF-IDF-style ranking — tf desc, document-frequency asc,
+    term asc — via token explode -> df groupby -> term hash join ->
+    partial-top-k per doc."""
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.stages.text_analysis import doc_top_terms
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return doc_top_terms(ds, "doc_id", "text", k=3)
+
+
 def _quantity_quantiles_sketch(sf_dir: str):
     """Mergeable quantile sketch (stages/sketches.py::quantile_sketch):
     per-block (value, weight) compaction -> driver merge, no global sort.
@@ -976,6 +989,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_customers": R.q_bloom_semi_customers,
         "bloom_anti_customers": R.q_bloom_anti_customers,
         "quantity_quantiles_sketch": _quantity_quantiles_sketch,
+        "doc_top_terms": _doc_top_terms,
         # --- the 21 queries the r4 driver window missed (judge-verified
         # r4; now first so CORRECTNESS_r05 gets driver rows for them) ---
         "priority_order_lists": R.q_priority_order_lists,
@@ -1468,6 +1482,31 @@ def oracle_sql() -> dict[str, str]:
                 SELECT o_custkey FROM orders WHERE o_totalprice > 250000
             )
             ORDER BY c_custkey
+        """,
+        # per-doc characteristic terms: integer-only ranking (tf desc,
+        # df asc, term asc) — no float idf whose last ulp could flip a
+        # rank between engines; see text_analysis.doc_top_terms
+        "doc_top_terms": """
+            WITH dt AS (
+                SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+                FROM (
+                    SELECT doc_id, unnest(list_filter(
+                        string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok
+                    FROM documents
+                ) GROUP BY doc_id, tok
+            ),
+            dfreq AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY term
+            )
+            SELECT doc_id, term, tf, df FROM (
+                SELECT dt.doc_id, dt.term, dt.tf, dfreq.df,
+                       row_number() OVER (
+                           PARTITION BY dt.doc_id
+                           ORDER BY dt.tf DESC, dfreq.df ASC, dt.term ASC
+                       ) AS rn
+                FROM dt JOIN dfreq USING (term)
+            ) WHERE rn <= 3
+            ORDER BY doc_id, tf DESC, df ASC, term ASC
         """,
         # quantile SKETCH in exact mode (50 distinct values <= k per
         # block): selection rule = element at rank ceil(q*n), identical

@@ -292,3 +292,47 @@ def flag_contaminated(
         )
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def doc_top_terms(ds, id_col: str = "doc_id", text_col: str = "text", k: int = 3):
+    """Characteristic terms per document — a TF-IDF-style ranking in PURE
+    integers: top-k terms per doc ordered by (tf desc, df asc, term asc).
+    Rarity replaces the idf logarithm as a tie-break, which keeps every
+    comparison integer-exact (no float ln whose last ulp could flip a
+    rank between engines), so the oracle is bit-identical by construction.
+
+    Scale shape (the one pattern no other text op here uses — a token-
+    stream equi-join against a derived statistic table):
+      1. explode (doc, term, tf): flat per-batch pandas groupby — a doc's
+         text lives in ONE row, so per-batch (doc, term) counts are
+         complete; no shuffle.
+      2. df table: ``groupby(term).count`` over the already-distinct
+         (doc, term) rows — the exploded rows ARE the combiner output.
+      3. hash join on term attaches df to the (doc, term, tf) stream.
+      4. ``grouped_topk`` per doc (partial top-k semigroup prune, never a
+         whole-key pandas group).
+    """
+    import pandas as pd
+
+    from ..pipelines.relational import grouped_topk
+
+    def explode_tf(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[text_col].fillna("").astype(str).str.lower().str.split()
+        out = df[[id_col]].copy()
+        out["term"] = s
+        out = out.explode("term").dropna(subset=["term"])
+        g = out.groupby([id_col, "term"], sort=False).size().reset_index(name="tf")
+        g["tf"] = g["tf"].astype("int64")
+        return g
+
+    from ray.data.aggregate import Count
+
+    dt = ds.select_columns([id_col, text_col]).map_batches(
+        explode_tf, batch_format="pandas"
+    )
+    df_tbl = dt.groupby("term").aggregate(Count(alias_name="df"))
+    joined = dt.join(
+        df_tbl, join_type="inner", num_partitions=8, on=("term",), right_on=("term",)
+    )
+    top = grouped_topk(joined, [id_col], ["tf", "df", "term"], [False, True, True], k)
+    return top.sort([id_col, "tf", "df", "term"], descending=[False, True, False, False])

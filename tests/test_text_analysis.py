@@ -225,3 +225,37 @@ def test_bpe_tokenizer_counts_and_packing(ray_session):
     cum_excl = np.cumsum(loc["n"].to_numpy()) - loc["n"].to_numpy()
     assert (packed["seq_id"].to_numpy() == cum_excl // 16).all()
     assert (packed["tok_offset"].to_numpy() == cum_excl % 16).all()
+
+
+def test_doc_top_terms_matches_pandas(ray_session):
+    """Integer-ranked characteristic terms == pandas brute force at
+    several partitionings (tf desc, df asc, term asc; top-3)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.stages.text_analysis import doc_top_terms
+
+    rng = np.random.default_rng(13)
+    vocab = [f"t{i}" for i in range(40)]
+    docs = pd.DataFrame({
+        "doc_id": np.arange(60),
+        "text": [" ".join(rng.choice(vocab, size=rng.integers(4, 25)))
+                 for _ in range(60)],
+    })
+
+    toks = docs.assign(term=docs["text"].str.lower().str.split()).explode("term")
+    dt = toks.groupby(["doc_id", "term"]).size().reset_index(name="tf")
+    dfreq = dt.groupby("term").size().reset_index(name="df")
+    j = dt.merge(dfreq, on="term")
+    j = j.sort_values(["doc_id", "tf", "df", "term"],
+                      ascending=[True, False, True, True], kind="mergesort")
+    want = j.groupby("doc_id").head(3).reset_index(drop=True)
+    want[["tf", "df"]] = want[["tf", "df"]].astype("int64")
+
+    for parts in (1, 5):
+        got = (
+            doc_top_terms(rd.from_pandas(docs).repartition(parts), "doc_id", "text", k=3)
+            .to_pandas().reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[want.columns], want)
