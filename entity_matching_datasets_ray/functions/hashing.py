@@ -75,52 +75,63 @@ def minhash_signature(hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.nd
 def minhash_signature_matrix(
     hash_lists: list[np.ndarray], a: np.ndarray, b: np.ndarray
 ) -> np.ndarray:
-    """Batched signatures: one row per document. Vectorized with uint64
-    overflow-tolerant arithmetic (a*x+b computed mod 2^64 then reduced —
-    universal-hash quality is preserved well enough for blocking because
-    collisions only affect candidate recall marginally; verification is
-    exact downstream)."""
-    num_perm = a.shape[0]
+    """Batched signatures: one row per document — a thin adapter that
+    flattens the per-doc lists and delegates to the single segmented-min
+    kernel (``minhash_signature_flat``), so the two entry points can
+    never drift apart (r5 code-review)."""
     n = len(hash_lists)
-    out = np.full((n, num_perm), _MAX64, dtype=np.uint64)
     lens = np.fromiter((h.size for h in hash_lists), dtype=np.int64, count=n)
-    nz = lens > 0
-    if not nz.any():
-        return out
-    # One flat (num_perm, total_tokens) multiply-add for the whole batch,
-    # then a segmented min per document (reduceat over the doc boundaries)
-    # — bit-identical to the per-doc loop this replaces, without n Python
-    # iterations and n tiny broadcasts.
+    if n == 0 or not (lens > 0).any():
+        return np.full((n, a.shape[0]), _MAX64, dtype=np.uint64)
     flat = np.concatenate([h for h in hash_lists if h.size])
-    with np.errstate(over="ignore"):
-        vals = (a[:, None] * flat[None, :]) + b[:, None]
-    nz_lens = lens[nz]
-    starts = np.zeros(nz_lens.shape[0], dtype=np.int64)
-    np.cumsum(nz_lens[:-1], out=starts[1:])
-    out[nz] = np.minimum.reduceat(vals, starts, axis=1).T
-    return out
+    return minhash_signature_flat(flat, lens, a, b)
 
 
 def minhash_signature_flat(
-    flat: np.ndarray, lens: np.ndarray, a: np.ndarray, b: np.ndarray
+    flat: np.ndarray,
+    lens: np.ndarray,
+    a: np.ndarray,
+    b: np.ndarray,
+    max_chunk_bytes: int = 1 << 26,
 ) -> np.ndarray:
-    """``minhash_signature_matrix`` over a pre-flattened (token-hash,
-    per-doc-count) layout — no per-doc Python lists at all. ``flat`` must
-    be grouped by doc in ``lens`` order. Duplicate hashes within a doc are
-    fine: min over a multiset equals min over its set, so signatures are
-    bit-identical to the set-based path."""
+    """Segmented-min MinHash kernel over a pre-flattened (token-hash,
+    per-doc-count) layout. ``flat`` must be grouped by doc in ``lens``
+    order. Duplicate hashes within a doc are fine: min over a multiset
+    equals min over its set, so signatures are bit-identical to the
+    set-based path.
+
+    Vectorized with uint64 overflow-tolerant arithmetic (a*x+b computed
+    mod 2^64 — universal-hash quality is preserved well enough for
+    blocking; verification is exact downstream). The (num_perm x tokens)
+    multiply-add transient is bounded at ``max_chunk_bytes`` (64 MiB) by
+    splitting the batch at DOC boundaries — an unchunked pass over a
+    document batch with millions of total shingles would transiently
+    allocate gigabytes (r5 code-review). Per-doc mins are independent, so
+    chunking is bit-identical to the one-shot pass.
+    """
+    lens = np.asarray(lens, dtype=np.int64)
     n = len(lens)
     num_perm = a.shape[0]
     out = np.full((n, num_perm), _MAX64, dtype=np.uint64)
-    nz = lens > 0
-    if not nz.any():
+    nz_idx = np.flatnonzero(lens > 0)
+    if nz_idx.size == 0:
         return out
-    with np.errstate(over="ignore"):
-        vals = (a[:, None] * flat[None, :]) + b[:, None]
-    nz_lens = np.asarray(lens)[nz]
-    starts = np.zeros(nz_lens.shape[0], dtype=np.int64)
-    np.cumsum(nz_lens[:-1], out=starts[1:])
-    out[nz] = np.minimum.reduceat(vals, starts, axis=1).T
+    nz_lens = lens[nz_idx]
+    ends = np.cumsum(nz_lens)
+    starts = ends - nz_lens
+    chunk_tokens = max(1, int(max_chunk_bytes // (num_perm * 8)))
+    d0 = 0
+    while d0 < nz_idx.size:
+        # include docs until the token budget is reached (always >= 1 doc;
+        # a single huge doc makes one over-budget chunk — unavoidable)
+        d1 = int(np.searchsorted(ends, starts[d0] + chunk_tokens, side="left")) + 1
+        d1 = min(max(d1, d0 + 1), nz_idx.size)
+        seg = flat[starts[d0] : ends[d1 - 1]]
+        with np.errstate(over="ignore"):
+            vals = (a[:, None] * seg[None, :]) + b[:, None]
+        rel_starts = starts[d0:d1] - starts[d0]
+        out[nz_idx[d0:d1]] = np.minimum.reduceat(vals, rel_starts, axis=1).T
+        d0 = d1
     return out
 
 
@@ -213,14 +224,16 @@ def band_key_matrix(sigs: np.ndarray, num_bands: int, rows_per_band: int) -> np.
 
     Chains each band's ``rows_per_band`` signature values through a
     splitmix64-style combine (seeded by the band index), fully vectorized
-    over (docs x bands). Key VALUES differ from the scalar blake2b
-    ``band_key`` — only the grouping matters for blocking (identical band
+    over (docs x bands). Key VALUES differ from the retired scalar blake2b
+    band_key — only the grouping matters for blocking (identical band
     bytes -> identical key; distinct bytes collide w.p. ~2^-64), and every
     internal banding consumer uses this matrix form, so groupings agree
     everywhere.
     """
     n = sigs.shape[0]
-    bands = sigs.reshape(n, num_bands, rows_per_band)
+    # tolerate num_perm not divisible by num_bands exactly like the scalar
+    # band_key did (each band slices lo:hi; tail permutations are unused)
+    bands = sigs[:, : num_bands * rows_per_band].reshape(n, num_bands, rows_per_band)
     band_idx = np.arange(num_bands, dtype=np.uint64)
     with np.errstate(over="ignore"):
         h = _splitmix64(band_idx * _SM64_GAMMA + np.uint64(1))[None, :]
@@ -228,16 +241,6 @@ def band_key_matrix(sigs: np.ndarray, num_bands: int, rows_per_band: int) -> np.
         for j in range(rows_per_band):
             h = _splitmix64(h ^ bands[:, :, j])
     return h
-
-
-def band_key(signature: np.ndarray, band: int, rows_per_band: int) -> int:
-    """Stable 64-bit key for one LSH band of a signature."""
-    lo = band * rows_per_band
-    return hash_bytes64(bytes([band]) + signature[lo : lo + rows_per_band].tobytes())
-
-
-def band_keys(signature: np.ndarray, num_bands: int, rows_per_band: int) -> list[int]:
-    return [band_key(signature, b, rows_per_band) for b in range(num_bands)]
 
 
 def simhash64(hashes: np.ndarray, weights: np.ndarray | None = None) -> int:

@@ -191,9 +191,15 @@ def load_bpe_merges(path: str) -> list[tuple[str, str]]:
     one space-separated symbol pair per line, rank = line order)."""
     merges: list[tuple[str, str]] = []
     with open(path, encoding="utf-8") as f:
-        for line in f:
+        for lineno, line in enumerate(f):
             line = line.rstrip("\n")
-            if not line or line.startswith("#"):
+            if not line:
+                continue
+            # only the FIRST line may be a "#version ..." header — real
+            # merges can legitimately start with '#' (e.g. the "# #"
+            # merge producing the '##' token), so a blanket startswith
+            # filter would silently corrupt '#'-bearing tokenization
+            if lineno == 0 and line.startswith("#"):
                 continue
             a, _, b = line.partition(" ")
             merges.append((a, b))

@@ -480,6 +480,15 @@ def _bloom_membership(left, right_keys, on: str, right_on: str, keep: bool,
     NULL semantics match ``_membership_join``: a NULL left key matches
     nothing (semi drops it before the join; anti keeps it on the
     definite-non-member branch). NULL right keys never enter the bitmap.
+
+    Deliberate trade-off: the anti path probes the left side TWICE
+    (want=True for the shuffle branch, want=False for the bypass) — Ray
+    Data does not share a forked sub-plan between two consumers, so the
+    alternatives are (a) materialize the probed left (pins a full
+    corpus-sized table in the object store — the thing this tier exists
+    to avoid) or (b) re-run the scan + vectorized hash, two streaming
+    passes. (b) costs one extra read of the PRUNED left columns; the
+    all-to-all it avoids on the bloom-negative majority is far larger.
     """
     import ray
 

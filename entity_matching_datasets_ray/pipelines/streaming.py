@@ -154,9 +154,15 @@ class StreamingLinkage:
         return self.clusters
 
     @classmethod
-    def resume(cls, checkpoint_dir: str, all_docs, config: LinkageConfig | None = None):
+    def resume(cls, checkpoint_dir: str, all_docs, config: LinkageConfig | None = None,
+               drift_threshold: float | None = 0.5, vocab_k: int = 2048):
         """Restart from the highest completed fold: reload its cluster
-        table; ``all_docs`` must be the docs covered by that fold."""
+        table; ``all_docs`` must be the docs covered by that fold. Pass
+        the same ``drift_threshold`` / ``vocab_k`` the original run used —
+        they are per-instance policy, not persisted in the checkpoint
+        (r5 code-review: a resume used to silently revert to defaults,
+        re-enabling the drift policy on a run created with
+        ``drift_threshold=None``)."""
         import ray.data as rd
 
         steps = sorted(
@@ -167,7 +173,8 @@ class StreamingLinkage:
         if not steps:
             raise FileNotFoundError(f"no completed folds under {checkpoint_dir}")
         last = steps[-1]
-        inst = cls(config, checkpoint_dir)
+        inst = cls(config, checkpoint_dir, drift_threshold=drift_threshold,
+                   vocab_k=vocab_k)
         inst.step = last
         inst.docs = all_docs.materialize()
         inst.clusters = rd.read_parquet(

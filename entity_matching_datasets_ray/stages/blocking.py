@@ -914,18 +914,31 @@ class FusedKeyEmitter:
                 np.full(nz_idx.size * self.bands.num_bands, self.KIND_LSH, dtype=np.int8)
             )
 
-        # exact keys (null-keyed rows excluded)
+        # exact keys (null-keyed rows excluded). Values render via ARROW
+        # string casts, not pandas: to_pandas() on an int column flips
+        # int64 -> float64 whenever the BATCH happens to contain a null,
+        # so the same logical key would stringify as "123" in one batch
+        # and "123.0" in another — two different key64s, silently dropped
+        # pairs (r5 code-review finding; matches exact_key_pairs'
+        # to_pylist()/str(v) rendering for ints).
         for ki, cols in enumerate(self.exact_keys):
-            series = [batch.column(c).to_pandas() for c in cols]
+            scols = [pc.cast(batch.column(c), pa.string()) for c in cols]
             valid = np.ones(batch.num_rows, dtype=bool)
-            for s in series:
-                valid &= s.notna().to_numpy() & (s != "").to_numpy()
+            for s in scols:
+                valid &= pc.fill_null(
+                    pc.not_equal(s, pa.scalar("")), False
+                ).to_numpy(zero_copy_only=False)
             vidx = np.flatnonzero(valid)
             if not vidx.size:
                 continue
+            take = pa.array(vidx)
             payload = np.full(vidx.size, f"{ki}", dtype=object)
-            for s in series:
-                payload = payload + "\x1f" + s.iloc[vidx].astype(str).to_numpy(dtype=object)
+            for s in scols:
+                payload = (
+                    payload
+                    + "\x1f"
+                    + np.asarray(s.take(take).to_pylist(), dtype=object)
+                )
             idx_parts.append(vidx)
             key_parts.append(self._k64_distinct(self.KIND_EXACT, payload))
             kind_parts.append(np.full(vidx.size, self.KIND_EXACT, dtype=np.int8))

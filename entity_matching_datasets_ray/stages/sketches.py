@@ -143,6 +143,11 @@ def heavy_hitters(ds, text_col: str = "text", min_frac_num: int = 1,
 
     if min_frac_num <= 0 or min_frac_den <= 0:
         raise ValueError("min_frac must be a positive fraction")
+    if safety <= 1:
+        # the pigeonhole completeness proof needs N/C STRICTLY below the
+        # threshold; safety == 1 lets a globally-heavy token hide from
+        # every batch filter and the "EXACT" result silently loses rows
+        raise ValueError("safety must be > 1 for candidate completeness")
     C = math.ceil(safety * min_frac_den / min_frac_num)
 
     def tokenize(df: pd.DataFrame) -> pd.Series:

@@ -327,9 +327,13 @@ def doc_top_terms(ds, id_col: str = "doc_id", text_col: str = "text", k: int = 3
 
     from ray.data.aggregate import Count
 
+    # materialize: dt feeds BOTH the df aggregate and the join probe side;
+    # without it Ray re-executes the full tokenize/explode pass twice
+    # (r5 code-review). The pinned blocks are the (doc, term, tf) summary
+    # stream, not the corpus; the object store spills them if needed.
     dt = ds.select_columns([id_col, text_col]).map_batches(
         explode_tf, batch_format="pandas"
-    )
+    ).materialize()
     df_tbl = dt.groupby("term").aggregate(Count(alias_name="df"))
     joined = dt.join(
         df_tbl, join_type="inner", num_partitions=8, on=("term",), right_on=("term",)

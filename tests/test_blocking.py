@@ -334,3 +334,46 @@ def test_candidate_pairs_cross_only_equals_delta_filtered(entities):
         l.startswith("a|") and r.startswith("b|")
         for l, r in zip(cross.left_id, cross.right_id)
     )
+
+
+def test_fused_exact_keys_int_column_null_batch_stable():
+    """r5 code-review: an integer exact-key column must hash to the SAME
+    key64 whether or not the batch happens to contain a null (pandas
+    to_pandas used to flip int64 -> float64 -> '123.0')."""
+    import pyarrow as pa
+
+    from entity_matching_datasets_ray.stages.blocking import FusedKeyEmitter
+
+    em = FusedKeyEmitter(window=4, num_perm=16, num_bands=4, seed=42,
+                         exact_keys=(("intkey",),))
+
+    def batch(ids, keys):
+        return pa.table({
+            "doc_id": pa.array(ids, pa.string()),
+            "snm_key": pa.array([""] * len(ids), pa.string()),
+            "norm_name": pa.array([""] * len(ids), pa.string()),
+            "intkey": pa.array(keys, pa.int64()),
+        })
+
+    clean = em(batch(["a", "b"], [123, 456])).to_pandas()
+    nully = em(batch(["c", "d"], [123, None])).to_pandas()
+    k_clean = clean.loc[(clean["kind"] == 2) & (clean["doc_id"] == "a"), "key64"]
+    k_nully = nully.loc[(nully["kind"] == 2) & (nully["doc_id"] == "c"), "key64"]
+    assert len(k_clean) == 1 and len(k_nully) == 1
+    assert k_clean.iloc[0] == k_nully.iloc[0]
+    # the null-keyed row emits no exact key at all
+    assert not ((nully["kind"] == 2) & (nully["doc_id"] == "d")).any()
+
+
+def test_band_key_matrix_tolerates_non_divisible_num_perm():
+    import numpy as np
+
+    from entity_matching_datasets_ray.functions.hashing import band_key_matrix
+
+    sigs = np.arange(5 * 64, dtype=np.uint64).reshape(5, 64)
+    out = band_key_matrix(sigs, num_bands=12, rows_per_band=5)  # uses 60 of 64
+    assert out.shape == (5, 12)
+    # tail permutations are ignored: perturbing them can't change keys
+    sigs2 = sigs.copy()
+    sigs2[:, 60:] ^= np.uint64(0xFFFF)
+    assert (band_key_matrix(sigs2, 12, 5) == out).all()

@@ -154,3 +154,15 @@ def test_quantile_sketch_error_bound(ray_session):
         true_rank = np.searchsorted(srt, v, side="right")
         target = math.ceil(q * n)
         assert abs(true_rank - target) <= bound, (q, true_rank, target, bound)
+
+
+def test_heavy_hitters_rejects_safety_one(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.stages.sketches import heavy_hitters
+
+    ds = rd.from_pandas(pd.DataFrame({"text": ["a b"]}))
+    with pytest.raises(ValueError, match="safety"):
+        heavy_hitters(ds, "text", min_frac_num=1, min_frac_den=5, safety=1)

@@ -259,3 +259,14 @@ def test_doc_top_terms_matches_pandas(ray_session):
             .to_pandas().reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_load_bpe_merges_keeps_hash_merges(tmp_path):
+    """Only the first '#version' header is a comment — '# #' is a real
+    merge (r5 code-review: a blanket '#' skip corrupted '#'-bearing
+    tokenization)."""
+    from entity_matching_datasets_ray.functions.text import load_bpe_merges
+
+    p = tmp_path / "merges.txt"
+    p.write_text("#version: 0.2\n# #\nh e\n", encoding="utf-8")
+    assert load_bpe_merges(str(p)) == [("#", "#"), ("h", "e")]
