@@ -868,6 +868,22 @@ def _heavy_hitter_tokens(sf_dir: str):
     return heavy_hitters(ds, "text", min_frac_num=1, min_frac_den=1000)
 
 
+def _winnow_overlap_pairs(sf_dir: str):
+    """Shared-passage pairs via winnowed local fingerprints
+    (dedup.winnow_overlap_pairs, Schleimer et al. SIGMOD'03): k-token-gram
+    md5-lower-64 hashes -> rightmost-min window selection -> fp-bucketed
+    pair counting with the boilerplate df-cap stoplist. k=4, w=4,
+    min_shared=2, max_docs_per_fp=64 — constants mirrored by the oracle."""
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.stages.dedup import winnow_overlap_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return winnow_overlap_pairs(
+        ds, "doc_id", "text", k=4, w=4, min_shared=2, max_docs_per_fp=64
+    )
+
+
 def _doc_top_terms(sf_dir: str):
     """Per-document characteristic terms (text_analysis.doc_top_terms):
     integer-exact TF-IDF-style ranking — tf desc, document-frequency asc,
@@ -990,6 +1006,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_anti_customers": R.q_bloom_anti_customers,
         "quantity_quantiles_sketch": _quantity_quantiles_sketch,
         "doc_top_terms": _doc_top_terms,
+        "winnow_overlap_pairs": _winnow_overlap_pairs,
         # --- the 21 queries the r4 driver window missed (judge-verified
         # r4; now first so CORRECTNESS_r05 gets driver rows for them) ---
         "priority_order_lists": R.q_priority_order_lists,
@@ -1507,6 +1524,48 @@ def oracle_sql() -> dict[str, str]:
                 FROM dt JOIN dfreq USING (term)
             ) WHERE rn <= 3
             ORDER BY doc_id, tf DESC, df ASC, term ASC
+        """,
+        # winnowed local fingerprints (Schleimer et al. SIGMOD'03), exact
+        # spec mirror of functions/text.py::winnow_fingerprints +
+        # stages/dedup.py::winnow_overlap_pairs: whitespace-lowercase
+        # 4-token grams, md5_number_lower hash (bit-identical to Python's
+        # md5 digest[8:16] little-endian), rightmost-min selection per
+        # 4-hash window (single window when a doc has <= 4 grams), df<=64
+        # boilerplate stoplist, pairs sharing >= 2 surviving fingerprints
+        "winnow_overlap_pairs": """
+            WITH toks AS (
+                SELECT doc_id, list_filter(
+                    string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ts
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, CAST(i AS BIGINT) AS i,
+                       md5_number_lower(array_to_string(
+                           ts[CAST(i AS BIGINT):CAST(i AS BIGINT)+3], ' ')) AS h
+                FROM toks, UNNEST(range(1, len(ts) - 4 + 2)) AS t(i)
+            ),
+            stats AS (SELECT doc_id, count(*) AS ng FROM grams GROUP BY doc_id),
+            wins AS (
+                SELECT s.doc_id, CAST(j AS BIGINT) AS j
+                FROM stats s, UNNEST(range(1, greatest(s.ng - 4 + 2, 2))) AS t(j)
+            ),
+            sel AS (
+                SELECT DISTINCT doc_id, h FROM (
+                    SELECT g.doc_id, g.h,
+                           row_number() OVER (PARTITION BY g.doc_id, wn.j
+                                              ORDER BY g.h ASC, g.i DESC) AS rn
+                    FROM grams g JOIN wins wn
+                      ON wn.doc_id = g.doc_id AND g.i BETWEEN wn.j AND wn.j + 3
+                ) WHERE rn = 1
+            ),
+            kept AS (SELECT h FROM sel GROUP BY h HAVING count(*) <= 64),
+            fps AS (SELECT s.* FROM sel s JOIN kept USING (h))
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM fps a JOIN fps b ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
+            ORDER BY doc_id_a, doc_id_b
         """,
         # quantile SKETCH in exact mode (50 distinct values <= k per
         # block): selection rule = element at rank ceil(q*n), identical

@@ -227,3 +227,58 @@ def document_fingerprint(text: str | None) -> int:
     for tok in text.lower().split():
         acc = (acc * _FP_BASE + hash64(tok)) % _FP_MOD
     return acc
+
+
+def md5_lower64(s: str) -> int:
+    """Low 64 bits of md5(s), matching DuckDB's ``md5_number_lower``:
+    bytes 8..16 of the digest, little-endian. Gives the SQL oracle a
+    bit-identical fingerprint hash."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[8:16], "little")
+
+
+def winnow_fingerprints(text: str | None, k: int = 4, w: int = 4):
+    """Winnowed LOCAL document fingerprints (Schleimer, Wilkerson, Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03).
+
+    Unlike :func:`document_fingerprint` (one whole-document hash), this
+    selects a sparse, position-robust SUBSET of k-token-gram hashes: in
+    every window of ``w`` consecutive gram hashes, keep the minimum
+    (rightmost on ties). Any shared passage of at least ``k + w - 1``
+    tokens between two documents is guaranteed to contribute at least one
+    common fingerprint — the winnowing coverage guarantee — at a ~2/(w+1)
+    sampling density.
+
+    Deterministic spec (mirrored exactly by the SQL oracle):
+    - tokens: ``text.lower().split()`` (whitespace runs, empties dropped);
+    - grams: ``' '.join(tokens[i:i+k])`` for each of ``n`` positions
+      (``n = len(tokens) - k + 1``; no grams -> no fingerprints);
+    - hash: :func:`md5_lower64` of the gram string (uint64);
+    - windows: starts ``j in [0, n-w]`` when ``n > w``, else the single
+      window covering all grams; per window select the rightmost minimum;
+    - result: np.unique of the selected hashes (sorted uint64).
+
+    The window-min scan is vectorized (``sliding_window_view`` + reversed
+    ``argmin`` for the rightmost tie-break); hashing is one C md5 call per
+    gram.
+    """
+    import numpy as np
+
+    toks = (text or "").lower().split()
+    n = len(toks) - k + 1
+    if n < 1:
+        return np.empty(0, dtype=np.uint64)
+    h = np.fromiter(
+        (md5_lower64(" ".join(toks[i : i + k])) for i in range(n)),
+        dtype=np.uint64,
+        count=n,
+    )
+    if n <= w:
+        # single window over all grams: rightmost occurrence of the min
+        return h[np.flatnonzero(h == h.min())[-1]][None]
+    wins = np.lib.stride_tricks.sliding_window_view(h, w)  # (n-w+1, w)
+    # rightmost min: argmin over the reversed window, mapped back
+    idx = (w - 1) - wins[:, ::-1].argmin(axis=1)
+    sel = np.arange(n - w + 1) + idx
+    return np.unique(h[np.unique(sel)])

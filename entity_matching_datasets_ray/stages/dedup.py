@@ -119,6 +119,129 @@ def fingerprint_dedup(ds, id_col: str = "doc_id", text_col: str = "text", num_pa
 
 
 # --------------------------------------------------------------------------
+# Winnowed local fingerprints (shared-passage detection)
+# --------------------------------------------------------------------------
+
+
+def winnow_overlap_pairs(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    max_docs_per_fp: int = 64,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    num_partitions: int | None = None,
+):
+    """Shared-passage detection via winnowed LOCAL fingerprints
+    (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS algorithm).
+
+    Complements the set-based near-dup family: MinHash/SimHash measure
+    whole-document similarity, while winnowing finds documents that share
+    a *contiguous passage* — any common run of at least ``k + w - 1``
+    tokens is guaranteed to contribute a shared fingerprint (the winnowing
+    coverage guarantee), at ~2/(w+1) sampling density, regardless of how
+    different the rest of the two documents is.
+
+    Scale shape (exact, no verify stage needed — fingerprints ARE the
+    evidence):
+
+    1. one ``map_batches`` pass: (id, fp) rows, distinct winnowed
+       fingerprints per doc (vectorized window-min; fixed ~2n/(w+1) rows
+       per doc, never the token stream);
+    2. fp-bucketed groupby — each fingerprint lands wholly in one group.
+       Fingerprints seen in more than ``max_docs_per_fp`` docs are DROPPED
+       with the standard winnowing boilerplate-stoplist rule (headers,
+       license text at corpus scale); the drop is part of the operator's
+       *definition* (the SQL oracle applies the same ``HAVING count(*) <=
+       cap``), so pair fan-out per group is bounded at C(cap, 2) by
+       construction, not by a meter. Surviving groups emit PARTIAL pair
+       counts inside the bucket (combiner-first: one row per distinct
+       pair per bucket crosses the second shuffle, not one per shared
+       fingerprint);
+    3. ``groupby(pair).sum`` merges partials; pairs sharing fewer than
+       ``min_shared`` fingerprints are pruned.
+
+    Returns (doc_id_a, doc_id_b, n_shared) with a < b, sorted.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..functions.text import winnow_fingerprints
+
+    def fp_rows(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        per_doc = [winnow_fingerprints(s, k, w) for s in texts]
+        counts = np.fromiter((a.size for a in per_doc), dtype=np.int64, count=len(per_doc))
+        idx = np.repeat(np.arange(len(per_doc)), counts)
+        fps = (
+            np.concatenate([a for a in per_doc if a.size])
+            if counts.sum()
+            else np.empty(0, np.uint64)
+        )
+        return pa.table(
+            {
+                id_col: t.column(id_col).combine_chunks().take(pa.array(idx)),
+                "fp": pa.array(fps, pa.uint64()),
+            }
+        )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        with np.errstate(over="ignore"):
+            h = t.column("fp").combine_chunks().to_numpy(zero_copy_only=False) * np.uint64(
+                0x9E3779B97F4A7C15
+            )
+        return t.append_column(
+            "bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int32), pa.int32())
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        left, right = [], []
+        for _, g in df.groupby("fp", sort=False):
+            ids = np.unique(g[id_col].to_numpy())  # kernel emits distinct fps per doc
+            n = ids.size
+            if n < 2 or n > max_docs_per_fp:
+                continue
+            li, ri = np.triu_indices(n, k=1)
+            left.append(ids[li])
+            right.append(ids[ri])
+        if not left:
+            return pd.DataFrame(
+                {
+                    "doc_id_a": pd.Series([], dtype=df[id_col].dtype),
+                    "doc_id_b": pd.Series([], dtype=df[id_col].dtype),
+                    "cnt": pd.Series([], dtype="int64"),
+                }
+            )
+        out = (
+            pd.DataFrame({"doc_id_a": np.concatenate(left), "doc_id_b": np.concatenate(right)})
+            .groupby(["doc_id_a", "doc_id_b"], sort=False)
+            .size()
+            .rename("cnt")
+            .reset_index()
+        )
+        return out
+
+    def keep_min_shared(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        kept = t.filter(pc.greater_equal(t.column("n_shared"), min_shared))
+        return kept.select(["doc_id_a", "doc_id_b", "n_shared"])
+
+    pairs = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(fp_rows, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket", num_partitions=num_partitions)
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby(["doc_id_a", "doc_id_b"], num_partitions=num_partitions)
+        .aggregate(Sum("cnt", alias_name="n_shared"))
+        .map_batches(keep_min_shared, batch_format="pyarrow")
+    )
+    return pairs.sort(["doc_id_a", "doc_id_b"])
+
+
+# --------------------------------------------------------------------------
 # MinHash-LSH near-dup
 # --------------------------------------------------------------------------
 

@@ -297,3 +297,135 @@ def test_ngram_jaccard_join_matches_brute_force(ray_session):
     got = ngram_jaccard_join(ds, n=3, threshold=thr).to_pandas()
     got_pairs = sorted(zip(got["left_id"], got["right_id"]))
     assert got_pairs == want
+
+
+# --------------------------------------------------------------------------
+# winnowed local fingerprints
+# --------------------------------------------------------------------------
+
+
+def _winnow_brute(text, k, w):
+    """Window-by-window reference: rightmost min per window, distinct union."""
+    from entity_matching_datasets_ray.functions.text import md5_lower64
+
+    toks = (text or "").lower().split()
+    n = len(toks) - k + 1
+    if n < 1:
+        return set()
+    h = [md5_lower64(" ".join(toks[i : i + k])) for i in range(n)]
+    sel = set()
+    if n <= w:
+        m = min(h)
+        sel.add(max(i for i in range(n) if h[i] == m))
+    else:
+        for j in range(n - w + 1):
+            win = h[j : j + w]
+            m = min(win)
+            sel.add(j + max(i for i in range(w) if win[i] == m))
+    return {h[i] for i in sel}
+
+
+def test_winnow_kernel_matches_bruteforce():
+    from entity_matching_datasets_ray.functions.text import winnow_fingerprints
+
+    rng = np.random.RandomState(7)
+    vocab = ["a", "b", "c", "dog", "cat", "x1", "the", "of"]
+    for _ in range(120):
+        t = " ".join(vocab[i] for i in rng.randint(0, len(vocab), rng.randint(0, 14)))
+        for k in (1, 2, 4):
+            for w in (1, 3, 4, 6):
+                got = set(winnow_fingerprints(t, k, w).tolist())
+                assert got == _winnow_brute(t, k, w), (t, k, w)
+
+
+def test_winnow_kernel_edges():
+    from entity_matching_datasets_ray.functions.text import winnow_fingerprints
+
+    assert winnow_fingerprints(None).size == 0
+    assert winnow_fingerprints("").size == 0
+    assert winnow_fingerprints("one two three", k=4).size == 0  # < k tokens
+    # case/whitespace normalization: identical fingerprints
+    a = winnow_fingerprints("The  Quick\tBrown Fox Jumps Over Lazy")
+    b = winnow_fingerprints("the quick brown fox jumps over lazy")
+    assert a.tolist() == b.tolist() and a.size > 0
+
+
+def test_winnow_coverage_guarantee():
+    """Any shared passage of >= k + w - 1 tokens yields a shared fingerprint
+    (the SIGMOD'03 winnowing guarantee), regardless of surrounding text."""
+    from entity_matching_datasets_ray.functions.text import winnow_fingerprints
+
+    k, w = 4, 4
+    passage = "alpha beta gamma delta epsilon zeta eta"  # k + w - 1 = 7 tokens
+    rng = np.random.RandomState(3)
+    vocab = [f"u{j}" for j in range(200)]
+    for trial in range(20):
+        pre_a = " ".join(vocab[i] for i in rng.choice(100, rng.randint(0, 12), replace=False))
+        post_a = " ".join(vocab[i] for i in rng.choice(100, rng.randint(0, 12), replace=False))
+        pre_b = " ".join(vocab[100 + i] for i in rng.choice(100, rng.randint(0, 12), replace=False))
+        post_b = " ".join(vocab[100 + i] for i in rng.choice(100, rng.randint(0, 12), replace=False))
+        da = f"{pre_a} {passage} {post_a}".strip()
+        db = f"{pre_b} {passage} {post_b}".strip()
+        shared = set(winnow_fingerprints(da, k, w).tolist()) & set(
+            winnow_fingerprints(db, k, w).tolist()
+        )
+        assert shared, trial
+
+
+def test_winnow_overlap_pairs_end_to_end(ray_session):
+    """Stage output == pure-Python reference (fps -> df stoplist -> shared
+    counts), incl. the boilerplate drop: a header in every doc exceeds the
+    df cap, so it creates no pairs."""
+    from collections import Counter
+
+    from entity_matching_datasets_ray.functions.text import winnow_fingerprints
+
+    k, w, cap, min_shared = 4, 4, 3, 2
+    header = "standard license header tokens common to every document here"
+    passage = "alpha beta gamma delta epsilon zeta eta theta iota"
+    rng = np.random.RandomState(5)
+    vocab = [f"v{j}" for j in range(400)]
+
+    def noise(n, lo, hi):
+        return " ".join(vocab[i] for i in rng.choice(range(lo, hi), n, replace=False))
+
+    texts = {
+        0: f"{header} {noise(20, 0, 80)} {passage}",
+        1: f"{header} {passage} {noise(20, 80, 160)}",
+        2: f"{header} {noise(25, 160, 240)}",
+        3: f"{header} {noise(25, 240, 320)}",
+        4: f"{header} {noise(25, 320, 400)}",
+    }
+
+    fps = {i: set(winnow_fingerprints(t, k, w).tolist()) for i, t in texts.items()}
+    df_counts = Counter(h for s in fps.values() for h in s)
+    kept = {h for h, c in df_counts.items() if c <= cap}
+    want = {}
+    for a in texts:
+        for b in texts:
+            if a < b:
+                n = len(fps[a] & fps[b] & kept)
+                if n >= min_shared:
+                    want[(a, b)] = n
+    assert want, "fixture must produce at least one pair"
+    assert (0, 1) in want  # the planted shared passage
+    # header fps appear in all 5 docs > cap: ensure the stoplist bites
+    assert any(c > cap for c in df_counts.values())
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(texts), pa.int64()),
+                "text": pa.array(list(texts.values()), pa.string()),
+            }
+        )
+    )
+    out = D.winnow_overlap_pairs(
+        ds, k=k, w=w, min_shared=min_shared, max_docs_per_fp=cap, num_partitions=4
+    ).to_pandas()
+    got = {
+        (int(a), int(b)): int(n)
+        for a, b, n in zip(out["doc_id_a"], out["doc_id_b"], out["n_shared"])
+    }
+    assert got == want
+    assert list(out["doc_id_a"]) == sorted(out["doc_id_a"])
