@@ -884,6 +884,19 @@ def _winnow_overlap_pairs(sf_dir: str):
     )
 
 
+def _repetition_signals_documents(sf_dir: str):
+    """Gopher-style within-document repetition signals
+    (text_analysis.repetition_signals): per doc, most-frequent-n-gram
+    count and duplicated-n-gram position count for n in (2, 3) — pure
+    integers, map-only, zero shuffle."""
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.stages.text_analysis import repetition_signals
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return repetition_signals(ds, "doc_id", "text", ns=(2, 3))
+
+
 def _doc_top_terms(sf_dir: str):
     """Per-document characteristic terms (text_analysis.doc_top_terms):
     integer-exact TF-IDF-style ranking — tf desc, document-frequency asc,
@@ -1007,6 +1020,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantity_quantiles_sketch": _quantity_quantiles_sketch,
         "doc_top_terms": _doc_top_terms,
         "winnow_overlap_pairs": _winnow_overlap_pairs,
+        "repetition_signals_documents": _repetition_signals_documents,
         # --- the 21 queries the r4 driver window missed (judge-verified
         # r4; now first so CORRECTNESS_r05 gets driver rows for them) ---
         "priority_order_lists": R.q_priority_order_lists,
@@ -1566,6 +1580,46 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             HAVING count(*) >= 2
             ORDER BY doc_id_a, doc_id_b
+        """,
+        # Gopher repetition signals: integer n-gram repetition counts
+        # (top-gram count + duplicated-gram positions), bit-identical by
+        # construction — see stages/text_analysis.py::repetition_signals
+        "repetition_signals_documents": """
+            WITH toks AS (
+                SELECT doc_id, list_filter(
+                    string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ts
+                FROM documents
+            ),
+            g2 AS (
+                SELECT doc_id, array_to_string(
+                    ts[CAST(i AS BIGINT):CAST(i AS BIGINT)+1], ' ') AS g
+                FROM toks, UNNEST(range(1, len(ts) - 2 + 2)) AS t(i)
+            ),
+            c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+            s2 AS (
+                SELECT doc_id, CAST(max(c) AS BIGINT) AS top2_cnt,
+                       CAST(COALESCE(sum(c) FILTER (WHERE c >= 2), 0) AS BIGINT) AS dup2_pos
+                FROM c2 GROUP BY doc_id
+            ),
+            g3 AS (
+                SELECT doc_id, array_to_string(
+                    ts[CAST(i AS BIGINT):CAST(i AS BIGINT)+2], ' ') AS g
+                FROM toks, UNNEST(range(1, len(ts) - 3 + 2)) AS t(i)
+            ),
+            c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+            s3 AS (
+                SELECT doc_id, CAST(max(c) AS BIGINT) AS top3_cnt,
+                       CAST(COALESCE(sum(c) FILTER (WHERE c >= 2), 0) AS BIGINT) AS dup3_pos
+                FROM c3 GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(len(t.ts) AS BIGINT) AS n_tokens,
+                   COALESCE(s2.top2_cnt, 0) AS top2_cnt,
+                   COALESCE(s2.dup2_pos, 0) AS dup2_pos,
+                   COALESCE(s3.top3_cnt, 0) AS top3_cnt,
+                   COALESCE(s3.dup3_pos, 0) AS dup3_pos
+            FROM toks t LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
+            ORDER BY doc_id
         """,
         # quantile SKETCH in exact mode (50 distinct values <= k per
         # block): selection rule = element at rank ceil(q*n), identical

@@ -294,6 +294,87 @@ def flag_contaminated(
     return ds.map_batches(flag, batch_format="pyarrow")
 
 
+def repetition_signals(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ns=(2, 3),
+    code_limit: int = 2**62,
+):
+    """Within-document repetition statistics — the Gopher-rules family of
+    pretraining quality signals (Rae et al. 2021 §A1.1: duplicate-n-gram /
+    top-n-gram fractions; used by RedPajama/Dolma/FineWeb curation).
+    Complements :func:`quality_filter` (length/punct/stopword heuristics)
+    with the repetition dimension it lacks.
+
+    Per document and each n in ``ns``, over lowercase whitespace tokens:
+
+    - ``top{n}_cnt``: occurrence count of the most frequent n-gram
+      (0 when the doc has fewer than n tokens);
+    - ``dup{n}_pos``: number of n-gram positions whose gram occurs >= 2
+      times (the duplicated-gram coverage numerator).
+
+    All outputs are INTEGERS (counts, not fractions) so the SQL oracle is
+    bit-identical by construction — callers derive the Gopher fractions as
+    ``dup{n}_pos / (n_tokens - n + 1)`` with their own float policy.
+
+    Scale shape: map-only (one pass, zero shuffle — a doc's text lives in
+    one row, so its gram counts are complete per batch). Vectorized per
+    doc: batch-level token factorization, n-gram identity as a base-M
+    positional code over int64 (M = distinct tokens in batch + 1; guarded
+    against overflow with a string-join fallback), ``np.unique`` counts.
+    """
+    import numpy as np
+    import pandas as pd
+
+    ns = tuple(sorted(ns))
+
+    def signals(df: pd.DataFrame) -> pd.DataFrame:
+        token_lists = df[text_col].fillna("").astype(str).str.lower().str.split()
+        flat = [t for ts in token_lists for t in ts]
+        codes, uniq = pd.factorize(np.asarray(flat, dtype=object)) if flat else (
+            np.empty(0, np.int64),
+            [],
+        )
+        M = np.int64(len(uniq) + 1)
+        out = {
+            id_col: df[id_col].to_numpy(),
+            "n_tokens": np.fromiter(
+                (len(ts) for ts in token_lists), np.int64, len(token_lists)
+            ),
+        }
+        for n in ns:
+            out[f"top{n}_cnt"] = np.zeros(len(df), np.int64)
+            out[f"dup{n}_pos"] = np.zeros(len(df), np.int64)
+        pos = 0
+        for row, ts in enumerate(token_lists):
+            T = len(ts)
+            c = codes[pos : pos + T].astype(np.int64)
+            pos += T
+            for n in ns:
+                if T < n:
+                    continue
+                if (len(uniq) + 1) ** n >= code_limit:
+                    # positional code would overflow int64: exact fallback
+                    grams = np.array(
+                        [" ".join(ts[i : i + n]) for i in range(T - n + 1)], object
+                    )
+                else:
+                    grams = np.zeros(T - n + 1, np.int64)
+                    for j in range(n):
+                        grams = grams * M + c[j : T - n + 1 + j]
+                _, cnts = np.unique(grams, return_counts=True)
+                out[f"top{n}_cnt"][row] = cnts.max()
+                out[f"dup{n}_pos"][row] = cnts[cnts >= 2].sum()
+        return pd.DataFrame(out)
+
+    return (
+        ds.select_columns([id_col, text_col])
+        .map_batches(signals, batch_format="pandas")
+        .sort(id_col)
+    )
+
+
 def doc_top_terms(ds, id_col: str = "doc_id", text_col: str = "text", k: int = 3):
     """Characteristic terms per document — a TF-IDF-style ranking in PURE
     integers: top-k terms per doc ordered by (tf desc, df asc, term asc).

@@ -270,3 +270,55 @@ def test_load_bpe_merges_keeps_hash_merges(tmp_path):
     p = tmp_path / "merges.txt"
     p.write_text("#version: 0.2\n# #\nh e\n", encoding="utf-8")
     assert load_bpe_merges(str(p)) == [("#", "#"), ("h", "e")]
+
+
+def test_repetition_signals_matches_bruteforce(ray_session):
+    """Stage output == Counter brute force for both the base-M positional
+    code path and the forced string-join fallback (code_limit=1)."""
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.stages.text_analysis import repetition_signals
+
+    rng = np.random.RandomState(13)
+    vocab = [f"w{j}" for j in range(12)]  # tiny vocab -> lots of repeats
+    texts = {
+        0: "",  # empty: all zeros
+        1: "solo",  # < n tokens for every n
+        2: "a a a a a",  # one 2-gram repeated: top2=4, dup2=4
+        3: "The  the THE tail",  # case/whitespace normalization
+    }
+    for i in range(4, 30):
+        texts[i] = " ".join(vocab[j] for j in rng.randint(0, len(vocab), rng.randint(0, 40)))
+
+    def brute(t, n):
+        ts = t.lower().split()
+        if len(ts) < n:
+            return 0, 0
+        c = Counter(tuple(ts[i : i + n]) for i in range(len(ts) - n + 1))
+        return max(c.values()), sum(v for v in c.values() if v >= 2)
+
+    ds = rd.from_pandas(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    ).repartition(5)
+    for limit in (2**62, 1):  # 1 forces the string-join fallback everywhere
+        out = repetition_signals(ds, ns=(2, 3), code_limit=limit).to_pandas()
+        assert list(out["doc_id"]) == sorted(texts)
+        for _, r in out.iterrows():
+            t = texts[int(r["doc_id"])]
+            assert r["n_tokens"] == len(t.lower().split())
+            for n in (2, 3):
+                top, dup = brute(t, n)
+                assert (r[f"top{n}_cnt"], r[f"dup{n}_pos"]) == (top, dup), (
+                    r["doc_id"],
+                    n,
+                    limit,
+                )
+    # sanity on the handcrafted cases
+    row2 = out.set_index("doc_id").loc[2]
+    assert row2["top2_cnt"] == 4 and row2["dup2_pos"] == 4
+    row0 = out.set_index("doc_id").loc[0]
+    assert row0[["n_tokens", "top2_cnt", "dup2_pos", "top3_cnt", "dup3_pos"]].sum() == 0
