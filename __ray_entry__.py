@@ -884,6 +884,19 @@ def _winnow_overlap_pairs(sf_dir: str):
     )
 
 
+def _kmeans_embeddings(sf_dir: str):
+    """Distributed Lloyd k-means (ann.kmeans_embeddings): k=10, iters=2,
+    deterministic lowest-id init; integer (vec_id, cluster_id) output —
+    the SQL oracle is the same Lloyd UNROLLED in DuckDB (double-precision
+    list_distance + row_number argmin, avg-per-dim centroid update)."""
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.stages.ann import kmeans_embeddings
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return kmeans_embeddings(ds, "vec_id", "embedding", k=10, iters=2)
+
+
 def _repetition_signals_documents(sf_dir: str):
     """Gopher-style within-document repetition signals
     (text_analysis.repetition_signals): per doc, most-frequent-n-gram
@@ -1021,6 +1034,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_terms": _doc_top_terms,
         "winnow_overlap_pairs": _winnow_overlap_pairs,
         "repetition_signals_documents": _repetition_signals_documents,
+        "kmeans_embeddings": _kmeans_embeddings,
         # --- the 21 queries the r4 driver window missed (judge-verified
         # r4; now first so CORRECTNESS_r05 gets driver rows for them) ---
         "priority_order_lists": R.q_priority_order_lists,
@@ -1580,6 +1594,41 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             HAVING count(*) >= 2
             ORDER BY doc_id_a, doc_id_b
+        """,
+        # distributed Lloyd k-means, UNROLLED (iters=2) in SQL: same
+        # deterministic spec as ann.kmeans_embeddings — lowest-id init,
+        # DOUBLE-precision squared-L2 argmin with lowest-cid tie-break,
+        # avg-per-dim centroid update, empty cluster keeps its centroid;
+        # output is integer-only so the compare never touches a float
+        "kmeans_embeddings": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            c0 AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+                FROM e ORDER BY vec_id LIMIT 10
+            ),
+            a1 AS (
+                SELECT vec_id, cid FROM (
+                    SELECT e.vec_id, c0.cid,
+                           row_number() OVER (PARTITION BY e.vec_id
+                                              ORDER BY list_distance(e.v, c0.v), c0.cid) AS rn
+                    FROM e CROSS JOIN c0) WHERE rn = 1
+            ),
+            ex AS (
+                SELECT a1.cid, unnest(e.v) AS x, generate_subscripts(e.v, 1) AS i
+                FROM a1 JOIN e USING (vec_id)
+            ),
+            c1sum AS (SELECT cid, i, avg(x) AS m FROM ex GROUP BY cid, i),
+            c1new AS (SELECT cid, list(m ORDER BY i) AS v FROM c1sum GROUP BY cid),
+            c1 AS (SELECT c0.cid, COALESCE(c1new.v, c0.v) AS v
+                   FROM c0 LEFT JOIN c1new USING (cid)),
+            a2 AS (
+                SELECT vec_id, cid FROM (
+                    SELECT e.vec_id, c1.cid,
+                           row_number() OVER (PARTITION BY e.vec_id
+                                              ORDER BY list_distance(e.v, c1.v), c1.cid) AS rn
+                    FROM e CROSS JOIN c1) WHERE rn = 1
+            )
+            SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id FROM a2 ORDER BY vec_id
         """,
         # Gopher repetition signals: integer n-gram repetition counts
         # (top-gram count + duplicated-gram positions), bit-identical by

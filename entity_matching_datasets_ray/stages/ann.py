@@ -281,3 +281,111 @@ def lsh_topk(
     return locals_.groupby("query_id", num_partitions=num_partitions).map_groups(
         merge, batch_format="pandas"
     )
+
+
+def kmeans_embeddings(
+    ds,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    iters: int = 2,
+    num_partitions: int | None = None,
+):
+    """Distributed Lloyd k-means over an embedding column — the iterative-
+    refinement family (the only one here): every other operator is a single
+    dataflow; this one alternates broadcast -> streamed pass -> tiny
+    reduce, the canonical Ray Data shape for iterative ML.
+
+    Deterministic spec (mirrored by the SQL oracle, an UNROLLED Lloyd):
+
+    - init: the ``k`` lowest-id vectors (float64);
+    - assignment: squared-L2 argmin, ties -> lowest centroid id;
+    - update: per-cluster mean; an EMPTY cluster keeps its previous
+      centroid;
+    - output after ``iters`` assignment passes: (id, cluster_id) —
+      INTEGERS only, so the oracle comparison never touches a float.
+
+    Scale shape per iteration:
+
+    1. the (k x dim) centroid matrix is broadcast via ``ray.put`` — read
+       once per task, never shipped per batch;
+    2. ONE ``map_batches`` pass over the corpus: vectorized float64
+       distance + argmin per batch, emitting PARTIAL per-centroid sums as
+       (cid, dim, s, cnt) rows — k x dim rows per batch cross the shuffle,
+       never the vectors;
+    3. ``groupby((cid, dim)).sum`` -> <= k x dim rows to the driver for
+       the centroid update (O(k * dim) driver state, like the window
+       operators' block summaries).
+
+    The corpus is re-streamed once per iteration (iters + 1 passes total
+    with the final assignment) rather than pinned with ``materialize()`` —
+    at 100 TB, N cheap storage passes beat holding the corpus in the
+    object store (the r4 spill-probe livelock lesson). Callers clustering
+    a small projection can materialize it themselves first.
+    """
+    from ray.data.aggregate import Sum
+
+    def _stack(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        ids = batch.column(id_col).combine_chunks()
+        V = np.stack(batch.column(vec_col).to_pandas().to_numpy()).astype(np.float64)
+        return ids, V
+
+    def _assign(V: np.ndarray, C: np.ndarray) -> np.ndarray:
+        # same FP op order as the serial reference: explicit (v - c)^2 sum;
+        # argmin takes the FIRST minimum = lowest centroid id on ties
+        d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return d.argmin(axis=1)
+
+    def init_centroids() -> np.ndarray:
+        seed = ds.sort(id_col).limit(k).to_pandas()
+        return np.stack(seed[vec_col].to_numpy()).astype(np.float64)
+
+    C = init_centroids()
+    dim = C.shape[1]
+
+    for _ in range(max(0, iters - 1)):
+        C_ref = ray.put(C)
+
+        def partial_sums(batch: pa.Table) -> pa.Table:
+            Cw = ray.get(C_ref)
+            _, V = _stack(batch)
+            a = _assign(V, Cw)
+            cids, inv = np.unique(a, return_inverse=True)
+            sums = np.zeros((cids.size, dim), np.float64)
+            np.add.at(sums, inv, V)
+            cnts = np.bincount(inv, minlength=cids.size).astype(np.int64)
+            return pa.table(
+                {
+                    "cid": pa.array(np.repeat(cids, dim).astype(np.int64)),
+                    "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), cids.size)),
+                    "s": pa.array(sums.ravel(), pa.float64()),
+                    "cnt": pa.array(np.repeat(cnts, dim), pa.int64()),
+                }
+            )
+
+        merged = (
+            ds.select_columns([id_col, vec_col])
+            .map_batches(partial_sums, batch_format="pyarrow")
+            .groupby(["cid", "dim"], num_partitions=num_partitions)
+            .aggregate(Sum("s", alias_name="s"), Sum("cnt", alias_name="cnt"))
+            .to_pandas()
+        )
+        C_new = C.copy()
+        for cid, g in merged.groupby("cid"):
+            g = g.sort_values("dim")
+            C_new[int(cid)] = g["s"].to_numpy() / g["cnt"].to_numpy()
+        C = C_new
+
+    C_final = ray.put(C)
+
+    def final_assign(batch: pa.Table) -> pa.Table:
+        Cw = ray.get(C_final)
+        ids, V = _stack(batch)
+        a = _assign(V, Cw)
+        return pa.table({id_col: ids, "cluster_id": pa.array(a.astype(np.int64))})
+
+    return (
+        ds.select_columns([id_col, vec_col])
+        .map_batches(final_assign, batch_format="pyarrow")
+        .sort(id_col)
+    )

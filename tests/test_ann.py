@@ -76,3 +76,71 @@ def test_ivf_topk_recall(corpus):
     assert np.mean(recalls) >= 0.4
     for qid in qids:
         assert qid in set(out[out.query_id == qid]["match_id"])  # self found
+
+
+# --------------------------------------------------------------------------
+# distributed Lloyd k-means
+# --------------------------------------------------------------------------
+
+
+def _kmeans_serial(V, k, iters):
+    """Spec reference: lowest-id init, squared-L2 argmin (ties -> lowest
+    cid), mean update, empty cluster keeps its centroid."""
+    C = V[:k].astype(np.float64).copy()
+    assign = None
+    for it in range(iters):
+        d = ((V[:, None, :].astype(np.float64) - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        if it < iters - 1:
+            for c in range(k):
+                m = assign == c
+                if m.any():
+                    C[c] = V[m].astype(np.float64).mean(axis=0)
+    return assign
+
+
+def _vec_ds(V):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(list(range(len(V))), pa.int64()),
+                "embedding": pa.array([v.tolist() for v in V], pa.list_(pa.float32())),
+            }
+        )
+    )
+
+
+@pytest.mark.parametrize("iters", [1, 2, 4])
+def test_kmeans_matches_serial_and_recovers_blobs(ray_session, iters):
+    from entity_matching_datasets_ray.stages.ann import kmeans_embeddings
+
+    rng = np.random.RandomState(9)
+    centers = rng.randn(4, 16) * 20  # well-separated blobs
+    labels = np.repeat(np.arange(4), 50)
+    V = (centers[labels] + rng.randn(200, 16) * 0.1).astype(np.float32)
+    perm = rng.permutation(200)  # ids uncorrelated with blob order
+    V, labels = V[perm], labels[perm]
+
+    out = kmeans_embeddings(_vec_ds(V).repartition(7), k=4, iters=iters).to_pandas()
+    assert list(out["vec_id"]) == list(range(200))
+    got = out["cluster_id"].to_numpy()
+    want = _kmeans_serial(V, 4, iters)
+    assert (got == want).all()
+    if iters >= 2:
+        # converged partition == planted blobs (pure clusters)
+        for c in np.unique(got):
+            assert len(np.unique(labels[got == c])) == 1
+
+
+def test_kmeans_empty_cluster_keeps_centroid(ray_session):
+    from entity_matching_datasets_ray.stages.ann import kmeans_embeddings
+
+    # init = ids 0,1 with IDENTICAL vectors: every point ties -> cid 0,
+    # cid 1 goes empty after iter 1 and must keep its [0,0] centroid
+    V = np.array([[0, 0], [0, 0], [5, 5], [5.1, 5]], np.float32)
+    out = kmeans_embeddings(_vec_ds(V).repartition(3), k=2, iters=2).to_pandas()
+    want = _kmeans_serial(V, 2, 2)
+    assert (out["cluster_id"].to_numpy() == want).all()
+    # the kept stale centroid recaptures the origin points in iter 2
+    # (c0 moved to the global mean), so BOTH rules are exercised
+    assert set(want) == {0, 1}
