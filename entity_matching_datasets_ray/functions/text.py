@@ -238,7 +238,7 @@ def md5_lower64(s: str) -> int:
     return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[8:16], "little")
 
 
-def winnow_fingerprints(text: str | None, k: int = 4, w: int = 4):
+def winnow_fingerprints(text: str | None, k: int = 4, w: int = 4, _cache: dict | None = None):
     """Winnowed LOCAL document fingerprints (Schleimer, Wilkerson, Aiken,
     "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03).
 
@@ -261,7 +261,9 @@ def winnow_fingerprints(text: str | None, k: int = 4, w: int = 4):
 
     The window-min scan is vectorized (``sliding_window_view`` + reversed
     ``argmin`` for the rightmost tie-break); hashing is one C md5 call per
-    gram.
+    DISTINCT gram when the caller shares a ``_cache`` dict across a batch
+    (the minhash distinct-gram memo pattern) — repeated boilerplate grams
+    hash once.
     """
     import numpy as np
 
@@ -269,11 +271,17 @@ def winnow_fingerprints(text: str | None, k: int = 4, w: int = 4):
     n = len(toks) - k + 1
     if n < 1:
         return np.empty(0, dtype=np.uint64)
-    h = np.fromiter(
-        (md5_lower64(" ".join(toks[i : i + k])) for i in range(n)),
-        dtype=np.uint64,
-        count=n,
-    )
+    if _cache is None:
+        hs = (md5_lower64(" ".join(toks[i : i + k])) for i in range(n))
+    else:
+        def _h(g: str) -> int:
+            v = _cache.get(g)
+            if v is None:
+                v = _cache[g] = md5_lower64(g)
+            return v
+
+        hs = (_h(" ".join(toks[i : i + k])) for i in range(n))
+    h = np.fromiter(hs, dtype=np.uint64, count=n)
     if n <= w:
         # single window over all grams: rightmost occurrence of the min
         return h[np.flatnonzero(h == h.min())[-1]][None]

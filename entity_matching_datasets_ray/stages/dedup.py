@@ -171,7 +171,8 @@ def winnow_overlap_pairs(
 
     def fp_rows(t: pa.Table) -> pa.Table:
         texts = t.column(text_col).to_pylist()
-        per_doc = [winnow_fingerprints(s, k, w) for s in texts]
+        cache: dict = {}  # per-batch distinct-gram hash memo
+        per_doc = [winnow_fingerprints(s, k, w, _cache=cache) for s in texts]
         counts = np.fromiter((a.size for a in per_doc), dtype=np.int64, count=len(per_doc))
         idx = np.repeat(np.arange(len(per_doc)), counts)
         fps = (
