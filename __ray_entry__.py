@@ -884,6 +884,18 @@ def _winnow_overlap_pairs(sf_dir: str):
     )
 
 
+def _soundex_histogram_documents(sf_dir: str):
+    """Soundex blocking-key profile over each document's first token
+    (text_analysis.phonetic_histogram; normalizers.soundex is the NARA
+    simplified American Soundex, exactly SQL-expressible)."""
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.stages.text_analysis import phonetic_histogram
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return phonetic_histogram(ds, "text")
+
+
 def _kmeans_embeddings(sf_dir: str):
     """Distributed Lloyd k-means (ann.kmeans_embeddings): k=10, iters=2,
     deterministic lowest-id init; integer (vec_id, cluster_id) output —
@@ -1035,6 +1047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_overlap_pairs": _winnow_overlap_pairs,
         "repetition_signals_documents": _repetition_signals_documents,
         "kmeans_embeddings": _kmeans_embeddings,
+        "soundex_histogram_documents": _soundex_histogram_documents,
         # --- the 21 queries the r4 driver window missed (judge-verified
         # r4; now first so CORRECTNESS_r05 gets driver rows for them) ---
         "priority_order_lists": R.q_priority_order_lists,
@@ -1594,6 +1607,47 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             HAVING count(*) >= 2
             ORDER BY doc_id_a, doc_id_b
+        """,
+        # simplified American Soundex (NARA rules minus H/W transparency —
+        # see functions/normalizers.py::soundex) over each doc's first
+        # token: uppercase/strip, translate letter->code, collapse runs,
+        # first letter + first 3 nonzero codes right-padded
+        "soundex_histogram_documents": """
+            WITH t1 AS (
+                SELECT list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '') AS ts
+                FROM documents
+            ),
+            s AS (
+                SELECT upper(regexp_replace(ts[1], '[^A-Za-z]', '', 'g')) AS u
+                FROM t1 WHERE len(ts) >= 1
+            ),
+            cc AS (
+                -- run collapse WITHOUT backreferences (DuckDB regex is
+                -- RE2): one pass per digit; collapsing digit d's runs
+                -- cannot create runs of any other digit, so the seven
+                -- passes compose exactly like ([0-9])\\1+ -> \\1
+                SELECT u,
+                    regexp_replace(regexp_replace(regexp_replace(
+                    regexp_replace(regexp_replace(regexp_replace(
+                    regexp_replace(
+                        translate(u, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                     '01230120022455012623010202'),
+                        '00+', '0', 'g'), '11+', '1', 'g'), '22+', '2', 'g'),
+                        '33+', '3', 'g'), '44+', '4', 'g'), '55+', '5', 'g'),
+                        '66+', '6', 'g') AS collapsed
+                FROM s
+            ),
+            c AS (
+                SELECT CASE WHEN u = '' THEN '' ELSE
+                    substr(u, 1, 1) || substr(
+                        replace(substr(collapsed, 2), '0', '') || '000',
+                        1, 3)
+                END AS code
+                FROM cc
+            )
+            SELECT code, CAST(count(*) AS BIGINT) AS cnt
+            FROM c GROUP BY code ORDER BY code
         """,
         # distributed Lloyd k-means, UNROLLED (iters=2) in SQL: same
         # deterministic spec as ann.kmeans_embeddings — lowest-id init,

@@ -460,3 +460,41 @@ def normalize_name(s: Optional[str]) -> str:
 
 def name_tokens(s: Optional[str]) -> list[str]:
     return [t for t in normalize_name(s).split(" ") if t]
+
+
+# --------------------------------------------------------------------------
+# phonetic keys
+# --------------------------------------------------------------------------
+
+_SOUNDEX_CODES = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+    "01230120022455012623010202",
+)
+_SOUNDEX_STRIP = re.compile(r"[^A-Za-z]")
+_SOUNDEX_RUNS = re.compile(r"([0-9])\1+")
+
+
+def soundex(s: Optional[str]) -> str:
+    """Simplified American Soundex — the classic phonetic blocking key for
+    person/entity names (Russell 1918; standard in record-linkage
+    blocking).
+
+    Deterministic spec, chosen to be exactly SQL-expressible (the strict
+    variant's H/W-transparency rule is NOT applied; H/W code to 0 like
+    vowels — documented deviation):
+
+    1. uppercase, strip non-letters; empty -> "";
+    2. code every letter (B F P V->1, C G J K Q S X Z->2, D T->3, L->4,
+       M N->5, R->6, vowels+H W Y->0);
+    3. collapse adjacent equal codes;
+    4. key = first LETTER + the first 3 nonzero codes after position 1,
+       right-padded with '0' to length 4.
+
+    Classic anchors hold: ROBERT/RUPERT -> R163, ASHCRAFT -> A226.
+    """
+    u = _SOUNDEX_STRIP.sub("", s or "").upper()
+    if not u:
+        return ""
+    collapsed = _SOUNDEX_RUNS.sub(r"\1", u.translate(_SOUNDEX_CODES))
+    rest = collapsed[1:].replace("0", "")
+    return u[0] + (rest + "000")[:3]

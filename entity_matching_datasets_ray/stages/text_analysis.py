@@ -421,3 +421,36 @@ def doc_top_terms(ds, id_col: str = "doc_id", text_col: str = "text", k: int = 3
     )
     top = grouped_topk(joined, [id_col], ["tf", "df", "term"], [False, True, True], k)
     return top.sort([id_col, "tf", "df", "term"], descending=[False, True, False, False])
+
+
+def phonetic_histogram(ds, text_col: str = "text", num_partitions: int | None = None):
+    """Distribution of Soundex phonetic keys over each document's FIRST
+    token — the classic record-linkage blocking-key profile (how big would
+    phonetic blocks be?). Uses :func:`..functions.normalizers.soundex`
+    (simplified American Soundex, exactly SQL-expressible).
+
+    Scale shape = :func:`language_histogram`'s: per-batch partial counts
+    with a distinct-token soundex memo (one row per distinct code per
+    batch crosses the shuffle), ``groupby(code).sum``, tiny sort.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..functions.normalizers import soundex
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].fillna("").astype(str).str.split().str[0].dropna()
+        if not len(toks):
+            return pd.DataFrame({"code": pd.Series([], dtype=str), "cnt": pd.Series([], dtype="int64")})
+        memo: dict[str, str] = {}
+        codes = toks.map(lambda t: memo.get(t) or memo.setdefault(t, soundex(t)))
+        vc = codes.value_counts()
+        return pd.DataFrame({"code": vc.index.astype(str), "cnt": vc.to_numpy("int64")})
+
+    return (
+        ds.select_columns([text_col])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("code", num_partitions=num_partitions)
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .sort("code")
+    )

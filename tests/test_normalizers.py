@@ -191,3 +191,20 @@ def test_title_profile_spec_canonicalization():
     assert not (s1[1] & s3[1]) and s1[1] and s3[1]
     # "sata 6gb s" must NOT leak a 6gb capacity
     assert title_profile(normalize_name("WD Red 6TB SATA 6Gb/s"))[1] == frozenset({"6144gb"})
+
+
+def test_soundex_anchors():
+    from entity_matching_datasets_ray.functions.normalizers import soundex
+
+    # NARA classic anchors (simplified variant: H/W code to 0 like vowels)
+    assert soundex("Robert") == "R163"
+    assert soundex("Rupert") == "R163"
+    assert soundex("Ashcraft") == "A226"
+    assert soundex("Tymczak") == "T522"
+    assert soundex("Pfister") == "P236"  # adjacent same-code P,F collapse
+    assert soundex("Jackson") == "J250"
+    # normalization + degenerate inputs
+    assert soundex("  o'Brien ") == soundex("OBRIEN")
+    assert soundex("123") == ""
+    assert soundex(None) == ""
+    assert soundex("o123") == "O000"
