@@ -884,6 +884,21 @@ def _winnow_overlap_pairs(sf_dir: str):
     )
 
 
+def _weighted_sample_documents(sf_dir: str):
+    """Token-count-proportional document sampling (splits.weighted_sample):
+    p = min(1, n_tokens_ws / 150), pure-integer keep rule
+    h * 150 < n_tokens * 1e6 on the SQL-reproducible doc_id hash —
+    the mixture-construction primitive (over-represent longer docs)."""
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.stages.splits import weighted_sample
+    from entity_matching_datasets_ray.stages.text_analysis import token_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    tc = token_counts(ds).select_columns(["doc_id", "n_tokens_ws"])
+    return weighted_sample(tc, "doc_id", "n_tokens_ws", 1, 150).sort("doc_id")
+
+
 def _soundex_histogram_documents(sf_dir: str):
     """Soundex blocking-key profile over each document's first token
     (text_analysis.phonetic_histogram; normalizers.soundex is the NARA
@@ -1048,6 +1063,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_signals_documents": _repetition_signals_documents,
         "kmeans_embeddings": _kmeans_embeddings,
         "soundex_histogram_documents": _soundex_histogram_documents,
+        "weighted_sample_documents": _weighted_sample_documents,
         # --- the 21 queries the r4 driver window missed (judge-verified
         # r4; now first so CORRECTNESS_r05 gets driver rows for them) ---
         "priority_order_lists": R.q_priority_order_lists,
@@ -1607,6 +1623,22 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             HAVING count(*) >= 2
             ORDER BY doc_id_a, doc_id_b
+        """,
+        # weight-proportional deterministic sampling, pure-integer keep
+        # rule on the same multiplicative doc_id hash as the split/sample
+        # oracles — see stages/splits.py::weighted_sample
+        "weighted_sample_documents": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                            x -> x <> '')) AS BIGINT) AS n_tokens_ws
+                FROM documents
+            )
+            SELECT doc_id, n_tokens_ws FROM t
+            WHERE ((CAST(doc_id AS HUGEINT) * 11400714819323198485)
+                    % 18446744073709551616) % 1000000 * 150
+                  < n_tokens_ws * 1000000
+            ORDER BY doc_id
         """,
         # simplified American Soundex (NARA rules minus H/W transparency —
         # see functions/normalizers.py::soundex) over each doc's first

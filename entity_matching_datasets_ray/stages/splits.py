@@ -259,3 +259,43 @@ def mix_corpora(
     for p in parts[1:]:
         out = out.union(p)
     return out.sort(["mix_key", "source", key_col, *tiebreak_cols])
+
+
+def weighted_sample(
+    ds,
+    key_col: str,
+    weight_col: str,
+    rate_num: int,
+    rate_den: int,
+    salt: int = 0,
+):
+    """Deterministic WEIGHT-PROPORTIONAL sampling: keep a row with
+    probability ``min(1, weight * rate_num / rate_den)`` — the standard
+    mixture-construction primitive (sample documents proportionally to
+    token count / quality so longer or better docs are over-represented),
+    with :func:`deterministic_sample`'s guarantees: zero shuffle,
+    resharding-stable, repeatable per (key, salt).
+
+    The keep decision is PURE INTEGER math, so the SQL oracle is
+    bit-identical: keep iff ``h * rate_den < weight * rate_num * 1e6``
+    with ``h = hash_frac(key) in [0, 1e6)``. The ``min(1, ...)`` cap is
+    implicit (when ``weight * rate_num >= rate_den`` the RHS clears every
+    possible h); weights <= 0 never sample. ``weight_col`` must be an
+    integer column — float weights would put an ulp on the threshold
+    boundary and break cross-engine determinism; scale floats to integer
+    millionths upstream instead.
+    """
+    if rate_num < 0 or rate_den <= 0:
+        raise ValueError(f"need rate_num >= 0 and rate_den > 0: {rate_num}/{rate_den}")
+
+    def keep(t: pa.Table) -> pa.Table:
+        if not pa.types.is_integer(t.schema.field(weight_col).type):
+            raise TypeError(
+                f"weighted_sample needs an integer weight column, got "
+                f"{t.schema.field(weight_col).type} for {weight_col!r}"
+            )
+        h = _hash_frac(t.column(key_col), salt)
+        w = t.column(weight_col).combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(h * rate_den < w * rate_num * _RESOLUTION))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

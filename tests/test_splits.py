@@ -216,3 +216,42 @@ def test_mix_corpora_string_keys_hetero_schema_tiebreak(ray_session):
 
     with pytest.raises(ValueError, match="must include key_col"):
         mix_corpora(srcs3, key_col="doc_id", columns=["item_id"])
+
+
+def test_weighted_sample_matches_spec_and_caps(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.stages.splits import (
+        _RESOLUTION,
+        _hash_frac,
+        weighted_sample,
+    )
+
+    ids = list(range(400))
+    # weights spanning the cap: 0 (never), tiny, around the rate, huge (always)
+    w = [(i * 37) % 250 for i in ids]
+    w[0] = 0
+    w[1] = -5  # negative weight: never sampled
+    w[2] = 10_000  # >> den/num: always sampled (cap at p=1)
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": ids, "wt": w})).repartition(6)
+
+    num, den = 1, 100
+    out = weighted_sample(ds, "doc_id", "wt", num, den).to_pandas()
+
+    import pyarrow as pa
+
+    h = _hash_frac(pa.chunked_array([pa.array(ids, pa.int64())]), 0)
+    want = {i for i, (hi, wi) in enumerate(zip(h, w)) if hi * den < wi * num * _RESOLUTION}
+    assert set(out["doc_id"]) == want
+    assert 0 not in want and 1 not in want and 2 in want
+    # repeatable: second run identical
+    out2 = weighted_sample(ds, "doc_id", "wt", num, den).to_pandas()
+    assert sorted(out2["doc_id"]) == sorted(out["doc_id"])
+    # float weight column is rejected (ulp on the threshold boundary)
+    fds = rd.from_pandas(pd.DataFrame({"doc_id": ids, "wt": [float(x) for x in w]}))
+    import pytest as _pytest
+    import ray.exceptions
+
+    with _pytest.raises(ray.exceptions.RayTaskError):
+        weighted_sample(fds, "doc_id", "wt", num, den).to_pandas()
