@@ -347,6 +347,15 @@ def kmeans_embeddings(
         C_ref = ray.put(C)
 
         def partial_sums(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:  # repartition can emit empty blocks
+                return pa.table(
+                    {
+                        "cid": pa.array([], pa.int64()),
+                        "dim": pa.array([], pa.int64()),
+                        "s": pa.array([], pa.float64()),
+                        "cnt": pa.array([], pa.int64()),
+                    }
+                )
             Cw = ray.get(C_ref)
             _, V = _stack(batch)
             a = _assign(V, Cw)
@@ -379,6 +388,13 @@ def kmeans_embeddings(
     C_final = ray.put(C)
 
     def final_assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], batch.schema.field(id_col).type),
+                    "cluster_id": pa.array([], pa.int64()),
+                }
+            )
         Cw = ray.get(C_final)
         ids, V = _stack(batch)
         a = _assign(V, Cw)

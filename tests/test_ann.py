@@ -144,3 +144,12 @@ def test_kmeans_empty_cluster_keeps_centroid(ray_session):
     # the kept stale centroid recaptures the origin points in iter 2
     # (c0 moved to the global mean), so BOTH rules are exercised
     assert set(want) == {0, 1}
+
+
+def test_kmeans_tolerates_empty_blocks(ray_session):
+    from entity_matching_datasets_ray.stages.ann import kmeans_embeddings
+
+    rng = np.random.RandomState(2)
+    V = rng.randn(5, 8).astype(np.float32)
+    out = kmeans_embeddings(_vec_ds(V).repartition(12), k=2, iters=2).to_pandas()
+    assert (out["cluster_id"].to_numpy() == _kmeans_serial(V, 2, 2)).all()
