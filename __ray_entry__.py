@@ -884,6 +884,20 @@ def _winnow_overlap_pairs(sf_dir: str):
     )
 
 
+def _profile_orders_columns(sf_dir: str):
+    """Column profiler (sketches.profile_columns) over four orders
+    columns (2 int, 2 string): exact row/null counts + KMV distinct
+    estimates, SQL-reproducible via md5_number_lower on the string
+    rendering."""
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.stages.sketches import profile_columns
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=cols)
+    return profile_columns(ds, cols, k=1024)
+
+
 def _weighted_sample_documents(sf_dir: str):
     """Token-count-proportional document sampling (splits.weighted_sample):
     p = min(1, n_tokens_ws / 150), pure-integer keep rule
@@ -1064,6 +1078,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": _kmeans_embeddings,
         "soundex_histogram_documents": _soundex_histogram_documents,
         "weighted_sample_documents": _weighted_sample_documents,
+        "profile_orders_columns": _profile_orders_columns,
         # --- the 21 queries the r4 driver window missed (judge-verified
         # r4; now first so CORRECTNESS_r05 gets driver rows for them) ---
         "priority_order_lists": R.q_priority_order_lists,
@@ -1623,6 +1638,36 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             HAVING count(*) >= 2
             ORDER BY doc_id_a, doc_id_b
+        """,
+        # column profiler: exact n/n_null + the KMV estimator per column,
+        # hash = md5_number_lower of the VARCHAR rendering on both sides
+        # — see stages/sketches.py::profile_columns
+        "profile_orders_columns": """
+            WITH profile AS (
+                SELECT * FROM (
+            """ + " UNION ALL ".join(
+            f"""
+                SELECT '{c}' AS column_name,
+                       (SELECT count(*) FROM orders) AS n_rows,
+                       (SELECT count(*) - count({c}) FROM orders) AS n_null,
+                       (SELECT CASE WHEN count(*) < 1024 THEN CAST(count(*) AS BIGINT)
+                               ELSE CAST(floor(1023 * 18446744073709551616.0
+                                               / CAST(max(hv) AS DOUBLE)) AS BIGINT) END
+                        FROM (SELECT DISTINCT md5_number_lower(CAST({c} AS VARCHAR)) AS hv
+                              FROM orders WHERE {c} IS NOT NULL
+                              ORDER BY hv LIMIT 1024)) AS n_distinct_est,
+                       (SELECT CAST(count(*) AS BIGINT)
+                        FROM (SELECT DISTINCT md5_number_lower(CAST({c} AS VARCHAR)) AS hv
+                              FROM orders WHERE {c} IS NOT NULL
+                              ORDER BY hv LIMIT 1024)) AS k_used
+            """
+            for c in ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+        ) + """
+                )
+            )
+            SELECT column_name, CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST(n_null AS BIGINT) AS n_null, n_distinct_est, k_used
+            FROM profile ORDER BY column_name
         """,
         # weight-proportional deterministic sampling, pure-integer keep
         # rule on the same multiplicative doc_id hash as the split/sample

@@ -292,3 +292,126 @@ def quantile_sketch(ds, value_col: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99)
         out_q.append(float(q))
         out_v.append(vals[min(i, len(vals) - 1)])
     return rd.from_pandas(pd.DataFrame({"q": out_q, value_col: out_v}))
+
+
+def profile_columns(ds, cols: list[str], k: int = 1024, num_partitions: int | None = None):
+    """Column profiler — the ANALYZE-TABLE surface: per column, exact
+    row/null counts plus a KMV distinct estimate, SQL-reproducible for
+    BOTH integer and string columns via the md5 bridge
+    (``md5_lower64(value rendered as string)`` == DuckDB
+    ``md5_number_lower(CAST(col AS VARCHAR))``; integer rendering uses
+    Arrow string casts, never pandas — the int64->float64 null trap).
+
+    Scale shape: ONE pass over the projected columns emits, per batch per
+    column, the bottom-k distinct value hashes plus one (n, n_null)
+    summary row; the tiny mapped stream is materialized (bounded:
+    ~(k+1) x cols rows per block — the doc_top_terms precedent, never the
+    corpus) because two consumers fork it. Counts merge in a groupby-sum;
+    hashes dedup in a groupby, prune through an ARROW per-batch bottom-k
+    (the top-k semigroup; kept in Arrow deliberately — uint64 columns in
+    pandas blocks do not survive Ray's shuffle pickling), and the final
+    <= k rows per column feed the same bit-exact estimator as
+    :func:`kmv_distinct` (exact when a column has < k distinct values).
+
+    Returns (column_name, n_rows, n_null, n_distinct_est, k_used), sorted.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..functions.text import md5_lower64
+
+    def partials(t: pa.Table) -> pa.Table:
+        out_col: list[str] = []
+        out_kind: list[str] = []
+        out_hv: list[int] = []
+        out_n: list[int] = []
+        out_nn: list[int] = []
+        for c in cols:
+            col = t.column(c).combine_chunks()
+            distinct = set(pc.cast(col.drop_null(), pa.string()).to_pylist())
+            # ORDER-PRESERVING shift into int64 (hv XOR 2^63 == hv - 2^63
+            # in two's complement): Ray groupby keys on Arrow uint64
+            # values above 2^63 overflow to a pickled-object fallback
+            raw = np.fromiter((md5_lower64(v) for v in distinct), np.uint64, len(distinct))
+            hs = np.unique((raw ^ np.uint64(1 << 63)).view(np.int64))[:k]
+            out_col.extend([c] * (hs.size + 1))
+            out_kind.extend(["h"] * hs.size + ["c"])
+            out_hv.extend(hs.tolist() + [0])
+            out_n.extend([0] * hs.size + [len(col)])
+            out_nn.extend([0] * hs.size + [col.null_count])
+        return pa.table(
+            {
+                "column_name": pa.array(out_col, pa.string()),
+                "kind": pa.array(out_kind, pa.string()),
+                "hv": pa.array(out_hv, pa.int64()),
+                "n": pa.array(out_n, pa.int64()),
+                "n_null": pa.array(out_nn, pa.int64()),
+            }
+        )
+
+    mapped = (
+        ds.select_columns(cols)
+        .map_batches(partials, batch_format="pyarrow", batch_size=None)
+        .materialize()
+    )
+    counts = (
+        mapped.filter(expr="kind == 'c'")
+        .select_columns(["column_name", "n", "n_null"])
+        .groupby("column_name", num_partitions=num_partitions)
+        .aggregate(Sum("n", alias_name="n_rows"), Sum("n_null", alias_name="n_null"))
+    )
+    # dedup hashes (same value seen in many batches), then the semigroup
+    # prune: per-column bottom-k without ever grouping a whole column.
+    # Both the prune and the estimator stay in ARROW blocks end to end.
+    def prune(t: pa.Table) -> pa.Table:
+        names = t.column("column_name").to_numpy(zero_copy_only=False)
+        hvs = t.column("hv").to_numpy(zero_copy_only=False)
+        keep_n, keep_h = [], []
+        for c in np.unique(names):
+            h = np.sort(hvs[names == c])[:k]
+            keep_n.extend([c] * h.size)
+            keep_h.append(h)
+        return pa.table(
+            {
+                "column_name": pa.array(keep_n, pa.string()),
+                "hv": pa.array(
+                    np.concatenate(keep_h) if keep_h else np.empty(0, np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Count
+
+    bottom = (
+        mapped.filter(expr="kind == 'h'")
+        .select_columns(["column_name", "hv"])
+        .groupby(["column_name", "hv"], num_partitions=num_partitions)
+        .aggregate(Count(alias_name="_drop"))
+        .select_columns(["column_name", "hv"])
+        .map_batches(prune, batch_format="pyarrow")
+    )
+
+    def estimate(t: pa.Table) -> pa.Table:
+        h = np.sort(t.column("hv").to_numpy(zero_copy_only=False))[:k]
+        n = h.size
+        # un-shift back to the true uint64 hash for the estimator
+        kth = float(int(h[-1]) + (1 << 63)) if n else 0.0
+        est = n if (n < k or kth == 0.0) else int(np.floor((k - 1) * _TWO64 / kth))
+        return pa.table(
+            {
+                "column_name": pa.array([t.column("column_name")[0].as_py()], pa.string()),
+                "n_distinct_est": pa.array([est], pa.int64()),
+                "k_used": pa.array([n], pa.int64()),
+            }
+        )
+
+    ests = bottom.groupby("column_name").map_groups(estimate, batch_format="pyarrow")
+    # both sides are ONE ROW PER PROFILED COLUMN — a driver-side merge of
+    # a len(cols)-row result is the honest plan (a distributed hash join
+    # over <= len(cols) rows is pure overhead)
+    import ray.data as rd
+
+    merged = counts.to_pandas().merge(ests.to_pandas(), on="column_name", how="inner")
+    merged = merged[["column_name", "n_rows", "n_null", "n_distinct_est", "k_used"]]
+    return rd.from_pandas(merged.sort_values("column_name").reset_index(drop=True))

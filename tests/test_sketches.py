@@ -166,3 +166,50 @@ def test_heavy_hitters_rejects_safety_one(ray_session):
     ds = rd.from_pandas(pd.DataFrame({"text": ["a b"]}))
     with pytest.raises(ValueError, match="safety"):
         heavy_hitters(ds, "text", min_frac_num=1, min_frac_den=5, safety=1)
+
+
+def test_profile_columns_counts_and_estimates(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from entity_matching_datasets_ray.functions.text import md5_lower64
+    from entity_matching_datasets_ray.stages.sketches import _TWO64, profile_columns
+
+    rng = np.random.RandomState(4)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "big": rng.randint(0, 10**9, n),          # >> k distinct: estimator path
+            "small": rng.randint(0, 37, n),            # < k distinct: exact path
+            "s": pd.array(
+                [None if i % 7 == 0 else f"v{i % 53}" for i in range(n)], dtype="string"
+            ),                                          # string + nulls
+        }
+    )
+    k = 256
+    out = (
+        profile_columns(rd.from_pandas(df).repartition(6), ["big", "small", "s"], k=k)
+        .to_pandas()
+        .set_index("column_name")
+    )
+    assert list(out.index) == ["big", "s", "small"]
+    for c in ("big", "small", "s"):
+        assert out.loc[c, "n_rows"] == n
+    assert out.loc["big", "n_null"] == 0 and out.loc["s", "n_null"] == n // 7 + 1
+
+    def serial_est(vals):
+        hs = np.unique(
+            np.fromiter((md5_lower64(str(v)) for v in set(vals)), np.uint64, len(set(vals)))
+        )[:k]
+        if hs.size < k:
+            return hs.size, hs.size
+        return int(np.floor((k - 1) * _TWO64 / float(hs.max()))), k
+
+    # exact path: < k distinct -> exact counts
+    assert out.loc["small", "n_distinct_est"] == 37 and out.loc["small", "k_used"] == 37
+    assert out.loc["s", "n_distinct_est"] == 53
+    # estimator path: bit-identical to the serial spec
+    est, used = serial_est(df["big"].tolist())
+    assert out.loc["big", "n_distinct_est"] == est and out.loc["big", "k_used"] == used
+    assert abs(est - df["big"].nunique()) / df["big"].nunique() < 0.2  # sane estimate
